@@ -1,0 +1,188 @@
+"""Self-supervised photometric losses, fused for a single XLA dispatch.
+
+Reimplements the reference monodepth2-style loss stack
+(/root/reference/depth_pose_prediction/depth_pose_prediction.py:1019-1192 and
+networks/layers.py:107-137) as pure NHWC jnp functions: per-frame
+SSIM+L1 reprojection, min-reprojection auto-masking with identity
+reprojection tie-break noise, edge-aware disparity smoothness, and the
+velocity (translation-magnitude) supervision term.
+
+Everything here is shape-static and differentiable; the adapt/train steps
+call `total_loss` once per scale set inside one jitted function.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_SSIM_C1 = 0.01**2
+_SSIM_C2 = 0.03**2
+
+
+def _reflect_pad_hw(x: jax.Array, pad: int = 1) -> jax.Array:
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def _avg_pool3(x: jax.Array) -> jax.Array:
+    """3x3 mean pool, stride 1, valid — via two separable box filters.
+
+    Separable cumsum-free formulation keeps this on the VPU and lets XLA fuse
+    with the surrounding elementwise SSIM math.
+    """
+    x = (x[:, :-2] + x[:, 1:-1] + x[:, 2:]) / 3.0
+    x = (x[:, :, :-2] + x[:, :, 1:-1] + x[:, :, 2:]) / 3.0
+    return x
+
+
+def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
+    """SSIM distance in [0, 1] between NHWC images (reference SSIM module).
+
+    Returns (B, H, W, C): clamp((1 - SSIM_map) / 2, 0, 1) after reflection
+    padding so the output matches the input spatial size.
+    """
+    x = _reflect_pad_hw(x)
+    y = _reflect_pad_hw(y)
+    mu_x = _avg_pool3(x)
+    mu_y = _avg_pool3(y)
+    sigma_x = _avg_pool3(x * x) - mu_x * mu_x
+    sigma_y = _avg_pool3(y * y) - mu_y * mu_y
+    sigma_xy = _avg_pool3(x * y) - mu_x * mu_y
+    n = (2 * mu_x * mu_y + _SSIM_C1) * (2 * sigma_xy + _SSIM_C2)
+    d = (mu_x * mu_x + mu_y * mu_y + _SSIM_C1) * (sigma_x + sigma_y + _SSIM_C2)
+    return jnp.clip((1 - n / d) / 2, 0.0, 1.0)
+
+
+def reprojection_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """0.85*SSIM + 0.15*L1, channel-averaged -> (B, H, W).
+
+    Reference `_compute_reprojection_loss` (depth_pose_prediction.py:1178-1192).
+    """
+    l1 = jnp.abs(target - pred).mean(axis=-1)
+    ssim_l = ssim(pred, target).mean(axis=-1)
+    return 0.85 * ssim_l + 0.15 * l1
+
+
+def smooth_loss(disp: jax.Array, img: jax.Array) -> jax.Array:
+    """Edge-aware smoothness on mean-normalised disparity -> (B,) per-sample.
+
+    Reference `_compute_smooth_loss` (depth_pose_prediction.py:1148-1176) with
+    the full mask (mask_dynamic=False path): mean |∂disp| * exp(-|∂img|).
+    disp: (B, H, W, 1); img: (B, H, W, 3) at the same scale.
+    """
+    d = disp[..., 0]
+    grad_disp_x = jnp.abs(d[:, :, :-1] - d[:, :, 1:])
+    grad_disp_y = jnp.abs(d[:, :-1, :] - d[:, 1:, :])
+    grad_img_x = jnp.abs(img[:, :, :-1] - img[:, :, 1:]).mean(axis=-1)
+    grad_img_y = jnp.abs(img[:, :-1, :] - img[:, 1:, :]).mean(axis=-1)
+    gx = grad_disp_x * jnp.exp(-grad_img_x)
+    gy = grad_disp_y * jnp.exp(-grad_img_y)
+    return gx.mean(axis=(1, 2)) + gy.mean(axis=(1, 2))
+
+
+def normalize_disp(disp: jax.Array) -> jax.Array:
+    """disp / (mean_hw(disp) + 1e-7) — reference depth_pose_prediction.py:1087-1088."""
+    mean = disp.mean(axis=(1, 2), keepdims=True)
+    return disp / (mean + 1e-7)
+
+
+def velocity_loss(
+    pred_translations: Dict[int, jax.Array],
+    relative_distances: Dict[int, jax.Array],
+) -> jax.Array:
+    """Translation-magnitude supervision -> (B,) per-sample.
+
+    Reference `_compute_velocity_loss` (depth_pose_prediction.py:1125-1146):
+    frame 0 pairs translation(0,-1) with |relative_distance[0]| (the -1 -> 0
+    gap); frame 1 pairs translation(0,1) with |relative_distance[1]|.
+    `pred_translations` maps frame id in {-1, 1} -> (B, 3);
+    `relative_distances` maps frame id in {0, 1} -> (B,).
+    """
+    loss = jnp.zeros_like(relative_distances[1])
+    pairs = ((0, -1), (1, 1))
+    for dist_frame, trans_frame in pairs:
+        gt = jnp.abs(relative_distances[dist_frame])
+        pred = jnp.linalg.norm(pred_translations[trans_frame], axis=-1)
+        loss = loss + jnp.abs(pred - gt)
+    return loss / len(pairs)
+
+
+def total_loss(
+    inputs: Dict,
+    outputs: Dict,
+    *,
+    scales: Sequence[int],
+    frame_ids: Tuple[int, ...] = (0, -1, 1),
+    disparity_smoothness: float = 1e-3,
+    velocity_loss_scaling: Optional[float] = 0.05,
+    sample_weights: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """Fused multi-scale loss — the reference `_compute_loss` semantics.
+
+    inputs:
+      ('rgb', f, 0): (B, H, W, 3) for f in frame_ids — full-resolution targets
+      ('rgb', 0, s): (B, H/2^s, W/2^s, 3) for the smoothness term
+      ('relative_distance', f): (B,) for f in (0, 1)
+    outputs:
+      ('rgb', f, s): (B, H, W, 3) warped source frames (full res) per scale
+      ('disp', s): (B, H/2^s, W/2^s, 1) raw sigmoid disparity
+      ('translation', 0, f): (B, 3) for f in (-1, 1)
+
+    sample_weights default to uniform 1/B.  `rng` drives the 1e-5 identity
+    tie-break noise (depth_pose_prediction.py:1054-1056); pass None for a
+    deterministic eval-style loss without noise.
+    """
+    target = inputs[("rgb", 0, 0)]
+    B = target.shape[0]
+    if sample_weights is None:
+        sample_weights = jnp.full((B,), 1.0 / B, dtype=target.dtype)
+
+    losses: Dict[str, jax.Array] = {}
+    total = jnp.zeros((), dtype=target.dtype)
+
+    # Identity reprojection losses are scale-independent: compute once.
+    identity = jnp.stack(
+        [reprojection_loss(inputs[("rgb", f, 0)], target) for f in frame_ids[1:]],
+        axis=1,
+    )  # (B, F, H, W)
+    if rng is not None:
+        identity = identity + jax.random.normal(rng, identity.shape, identity.dtype) * 1e-5
+
+    for scale in scales:
+        reproj = jnp.stack(
+            [reprojection_loss(outputs[("rgb", f, scale)], target) for f in frame_ids[1:]],
+            axis=1,
+        )  # (B, F, H, W)
+        combined = jnp.concatenate([identity, reproj], axis=1)
+        to_optimize = combined.min(axis=1)  # (B, H, W)
+        reproj_l = (to_optimize.mean(axis=(1, 2)) * sample_weights).sum()
+        losses[f"reprojection_loss/scale_{scale}"] = reproj_l
+
+        disp = outputs[("disp", scale)]
+        color = inputs[("rgb", 0, scale)]
+        smooth = smooth_loss(normalize_disp(disp), color)
+        smooth_l = (smooth * sample_weights).sum()
+        losses[f"smooth_loss/scale_{scale}"] = smooth_l
+        reg_l = disparity_smoothness / (2**scale) * smooth_l
+        losses[f"reg_loss/scale_{scale}"] = reg_l
+
+        scale_l = reproj_l + reg_l
+        losses[f"depth_loss/scale_{scale}"] = scale_l
+        total = total + scale_l
+
+    total = total / len(scales)
+    losses["depth_loss"] = total
+
+    if velocity_loss_scaling is not None and velocity_loss_scaling > 0:
+        vel = velocity_loss(
+            {f: outputs[("translation", 0, f)] for f in (-1, 1)},
+            {f: inputs[("relative_distance", f)] for f in (0, 1)},
+        )
+        vel_l = velocity_loss_scaling * (vel * sample_weights).sum()
+        losses["velocity_loss"] = vel_l
+        total = total + vel_l
+
+    losses["loss"] = total
+    return losses
