@@ -1,0 +1,149 @@
+"""Fused adapt/train step tests on small synthetic batches."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuslam.models import init_depth_pose
+from tpuslam.train import (
+    FrameBatch,
+    LossConfig,
+    TrainState,
+    adapt_step,
+    concat_batches,
+    eval_step,
+    make_adapt_optimizer,
+    make_frame_batch,
+    make_pretrain_optimizer,
+    make_train_state,
+    pad_batch,
+    predict_pose_step,
+    train_step,
+)
+
+H, W = 64, 96
+K_NORM = np.array(
+    [[0.58, 0, 0.5, 0], [0, 1.92, 0.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32
+)
+
+
+def _pixel_K():
+    K = K_NORM.copy()
+    K[0, :] *= W
+    K[1, :] *= H
+    return K
+
+
+def _batch(rng, b=2):
+    rgb = rng.uniform(size=(b, 3, H, W, 3)).astype(np.float32)
+    rel = rng.uniform(0.5, 2.0, size=(b, 2)).astype(np.float32)
+    return make_frame_batch(rgb, _pixel_K(), rel)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, variables = init_depth_pose(jax.random.PRNGKey(0), height=H, width=W)
+    return model, variables
+
+
+def test_eval_step_outputs(setup, rng):
+    model, variables = setup
+    cfg = LossConfig(scales=(0, 1, 2, 3))
+    batch = _batch(rng, 2)
+    losses, outputs = eval_step(
+        model, cfg, variables["params"], variables["batch_stats"], batch
+    )
+    assert np.isfinite(float(losses["loss"]))
+    assert outputs[("depth", 0)].shape == (2, H, W, 1)
+    assert outputs[("cam_T_cam", 0, 1)].shape == (2, 4, 4)
+    emb = np.asarray(outputs[("embedding",)])
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
+
+
+def test_adapt_step_reduces_loss(setup, rng):
+    model, variables = setup
+    cfg = LossConfig(scales=(0, 1))
+    tx = make_adapt_optimizer(variables["params"], learning_rate=1e-4)
+    state = make_train_state(variables["params"], variables["batch_stats"], tx)
+    online = _batch(rng, 1)
+    training = concat_batches(online, _batch(rng, 2))
+
+    losses0, _ = eval_step(model, cfg, state.params, state.batch_stats, training)
+    state, eval_losses, outputs = adapt_step(
+        model, tx, cfg, state, online, training, num_steps=4
+    )
+    losses1, _ = eval_step(model, cfg, state.params, state.batch_stats, training)
+    assert float(losses1["loss"]) < float(losses0["loss"]), "adaptation must reduce loss"
+    assert eval_losses["iter_losses"].shape == (4,)
+    assert int(state.step) == 1
+
+
+def test_adapt_step_freezes_encoders(setup, rng):
+    model, variables = setup
+    cfg = LossConfig(scales=(0,))
+    tx = make_adapt_optimizer(variables["params"], learning_rate=1e-2)
+    state = make_train_state(variables["params"], variables["batch_stats"], tx)
+    online = _batch(rng, 1)
+    before_enc = np.asarray(
+        variables["params"]["depth_encoder"]["conv1"]["kernel"]
+    ).copy()
+    before_dec = np.asarray(
+        variables["params"]["depth_decoder"]["upconv_0_0_conv"]["kernel"]
+    ).copy()
+    before_stats = np.asarray(
+        variables["batch_stats"]["depth_encoder"]["bn1"]["mean"]
+    ).copy()
+    state, _, _ = adapt_step(model, tx, cfg, state, online, online, num_steps=2)
+    after_enc = np.asarray(state.params["depth_encoder"]["conv1"]["kernel"])
+    after_dec = np.asarray(state.params["depth_decoder"]["upconv_0_0_conv"]["kernel"])
+    after_stats = np.asarray(state.batch_stats["depth_encoder"]["bn1"]["mean"])
+    np.testing.assert_array_equal(before_enc, after_enc)  # encoder frozen
+    np.testing.assert_array_equal(before_stats, after_stats)  # BN stats frozen
+    assert not np.allclose(before_dec, after_dec)  # decoder adapts
+
+
+def test_adapt_step_padded_batch_matches_unpadded(setup, rng):
+    """Zero-weight padding must not change the resulting parameters."""
+    model, variables = setup
+    cfg = LossConfig(scales=(0,))
+    tx = make_adapt_optimizer(variables["params"], learning_rate=1e-3)
+    online = _batch(rng, 1)
+
+    state_a = make_train_state(variables["params"], variables["batch_stats"], tx,
+                               rng=jax.random.PRNGKey(7))
+    state_a, _, _ = adapt_step(model, tx, cfg, state_a, online, online, num_steps=1)
+
+    padded = pad_batch(online, 2)
+    state_b = make_train_state(variables["params"], variables["batch_stats"], tx,
+                               rng=jax.random.PRNGKey(7))
+    state_b, _, _ = adapt_step(model, tx, cfg, state_b, online, padded, num_steps=1)
+
+    a = np.asarray(state_a.params["depth_decoder"]["dispconv_0_conv"]["kernel"])
+    b = np.asarray(state_b.params["depth_decoder"]["dispconv_0_conv"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_train_step_updates_everything(setup, rng):
+    model, variables = setup
+    cfg = LossConfig(scales=(0, 1))
+    tx = make_pretrain_optimizer(1e-4)
+    state = make_train_state(variables["params"], variables["batch_stats"], tx)
+    batch = _batch(rng, 2)
+    state, losses = train_step(model, tx, cfg, state, batch)
+    assert np.isfinite(float(losses["loss"]))
+    after_enc = np.asarray(state.params["depth_encoder"]["conv1"]["kernel"])
+    before_enc = np.asarray(variables["params"]["depth_encoder"]["conv1"]["kernel"])
+    assert not np.allclose(before_enc, after_enc)  # encoder trains in pretraining
+    after_stats = np.asarray(state.batch_stats["depth_encoder"]["bn1"]["mean"])
+    before_stats = np.asarray(variables["batch_stats"]["depth_encoder"]["bn1"]["mean"])
+    assert not np.allclose(before_stats, after_stats)  # BN stats update
+
+
+def test_predict_pose_step(setup, rng):
+    model, variables = setup
+    img = jnp.asarray(rng.uniform(size=(1, H, W, 3)).astype(np.float32))
+    T, cov = predict_pose_step(model, variables["params"], variables["batch_stats"], img, img)
+    assert T.shape == (1, 4, 4)
+    np.testing.assert_allclose(np.asarray(cov), np.eye(6), atol=0)
+    # near-identity for an identical pair at init (0.01 output scaling)
+    assert np.abs(np.asarray(T[0]) - np.eye(4)).max() < 0.05

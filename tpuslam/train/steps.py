@@ -1,0 +1,318 @@
+"""The fused forward/backward steps — the performance core of the framework.
+
+The reference runs per frame: 5 x (python loop: forward, backward, Adam step)
+plus a separate eval forward for embeddings
+(/root/reference/depth_pose_prediction/depth_pose_prediction.py:291-319 and
+slam/slam.py:143-147) — dozens of CUDA dispatches and host round-trips.
+
+Here the whole inner loop is ONE jitted XLA computation per frame
+(`adapt_step`): a `lax.scan` over K adaptation iterations (each iteration =
+full forward + backward + masked Adam update with donated buffers), followed
+by an eval forward on the online frame that yields the relative pose, the
+depth map, the replay-buffer embedding (pooled encoder stage 4) and the
+loop-closure embedding.  Host control flow (buffer admit/evict, loop-closure
+triggers, pose graph) stays outside; shapes are static so the step compiles
+once.
+
+TPU-first details:
+* frozen encoders use `stop_gradient` on the feature pyramid — the encoder
+  backward pass is never built, unlike the reference's requires_grad masking
+  where grads still flow through frozen encoders.
+* both pose pairs (0,-1) and (0,+1) run through the pose network as one
+  doubled batch -> bigger matmuls for the MXU.
+* the image pyramid for the smoothness term is built on-device with 2x2 mean
+  pooling (the reference builds LANCZOS pyramids in DataLoader workers;
+  smoothness weight is 1e-3 so the filter difference is metric-irrelevant,
+  and it removes a host-side hot loop).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpuslam.geometry.camera import (
+    backproject_depth,
+    bilinear_sampler,
+    pixel_grid,
+    project_3d,
+    resize_bilinear,
+)
+from tpuslam.geometry.depth import disp_to_depth
+from tpuslam.geometry.se3 import se3_inverse, transformation_from_parameters
+from tpuslam.losses.photometric import total_loss
+from tpuslam.models.depth_pose import DepthPoseNet
+from tpuslam.models.embedder import l2_normalize
+from tpuslam.train.batch import FrameBatch
+from tpuslam.train.state import TrainState
+
+
+class LossConfig(NamedTuple):
+    """Static loss hyperparameters (part of the jit cache key)."""
+
+    scales: Tuple[int, ...] = (0, 1, 2, 3)
+    min_depth: Optional[float] = 0.1
+    max_depth: Optional[float] = None
+    disparity_smoothness: float = 1e-3
+    velocity_loss_scaling: Optional[float] = 0.05
+
+
+def _avg_pool2(x: jax.Array) -> jax.Array:
+    """2x2 mean-pool downsample (NHWC) for the on-device image pyramid."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H // 2, 2, W // 2, 2, C).mean(axis=(2, 4))
+
+
+def _image_pyramid(img: jax.Array, num_scales: int) -> Dict[int, jax.Array]:
+    pyr = {0: img}
+    for s in range(1, num_scales):
+        pyr[s] = _avg_pool2(pyr[s - 1])
+    return pyr
+
+
+def forward(
+    model: DepthPoseNet,
+    params,
+    batch_stats,
+    batch: FrameBatch,
+    cfg: LossConfig,
+    *,
+    train_bn: bool = False,
+    rng: Optional[jax.Array] = None,
+    sample_weights: Optional[jax.Array] = None,
+):
+    """Full forward: disparity + poses + warps + losses.
+
+    Returns (losses, outputs, new_batch_stats).  `outputs` carries everything
+    SLAM needs: disp pyramid, depth(0), cam_T_cam(0,±1), translations, the
+    pooled stage-4 feature of the (augmented) online frames.
+    """
+    H, W = batch.height, batch.width
+    stats = batch_stats
+
+    def run(method, *args):
+        # Thread the batch_stats through sequential applies — flax returns
+        # the whole collection, so naive merging would resurrect stale stats.
+        nonlocal stats
+        variables = {"params": params, "batch_stats": stats}
+        if train_bn:
+            out, mut = model.apply(
+                variables, *args, train=True, mutable=["batch_stats"], method=method
+            )
+            stats = {**stats, **mut["batch_stats"]}
+            return out
+        return model.apply(variables, *args, train=False, method=method)
+
+    # --- depth network on the augmented frame-0 image --------------------
+    disps, feat4 = run(DepthPoseNet.depth_forward, batch.frame(0, aug=True))
+    # --- pose network: both pairs as one doubled batch -------------------
+    pair_prev = jnp.concatenate([batch.frame(-1, True), batch.frame(0, True)], axis=-1)
+    pair_next = jnp.concatenate([batch.frame(0, True), batch.frame(1, True)], axis=-1)
+    pairs = jnp.concatenate([pair_prev, pair_next], axis=0)  # (2B, H, W, 6)
+    aa, tr = run(DepthPoseNet.pose_forward, pairs)
+    B = batch.batch_size
+    aa_prev, aa_next = aa[:B], aa[B:]
+    tr_prev, tr_next = tr[:B], tr[B:]
+    # frame -1: net saw (prev, cur); invert so the transform is 0 -> -1
+    T_prev = transformation_from_parameters(aa_prev, tr_prev, invert=True)
+    T_next = transformation_from_parameters(aa_next, tr_next, invert=False)
+
+    # --- multi-scale inverse warp (reference _reconstruct_images) --------
+    pix = pixel_grid(H, W)
+    outputs: Dict[Any, jax.Array] = {}
+    for s in cfg.scales:
+        disp = disps[("disp", s)]
+        disp_up = resize_bilinear(disp, H, W)
+        depth = disp_to_depth(disp_up, cfg.min_depth, cfg.max_depth)
+        if s == 0:
+            outputs[("depth", 0)] = depth
+        points = backproject_depth(depth, batch.inv_K, pix)
+        for f, T in ((-1, T_prev), (1, T_next)):
+            coords = project_3d(points, batch.K, T, H, W)
+            outputs[("rgb", f, s)] = bilinear_sampler(batch.frame(f), coords)
+        outputs[("disp", s)] = disp
+
+    outputs[("cam_T_cam", 0, -1)] = T_prev
+    outputs[("cam_T_cam", 0, 1)] = T_next
+    outputs[("translation", 0, -1)] = tr_prev
+    outputs[("translation", 0, 1)] = tr_next
+    outputs[("feat4",)] = feat4
+
+    # --- losses ----------------------------------------------------------
+    pyr = _image_pyramid(batch.frame(0), len(cfg.scales))
+    inputs = {("rgb", 0, s): pyr[s] for s in cfg.scales}
+    inputs[("rgb", -1, 0)] = batch.frame(-1)
+    inputs[("rgb", 1, 0)] = batch.frame(1)
+    inputs[("relative_distance", 0)] = batch.rel_dist[:, 0]
+    inputs[("relative_distance", 1)] = batch.rel_dist[:, 1]
+    losses = total_loss(
+        inputs,
+        outputs,
+        scales=cfg.scales,
+        disparity_smoothness=cfg.disparity_smoothness,
+        velocity_loss_scaling=cfg.velocity_loss_scaling,
+        sample_weights=sample_weights if sample_weights is not None else batch.weights,
+        rng=rng,
+    )
+    return losses, outputs, stats
+
+
+def _frozen_encoder_params(params):
+    """stop_gradient on encoder subtrees: backward never enters them."""
+    return {
+        top: (jax.tree_util.tree_map(jax.lax.stop_gradient, sub) if "encoder" in top else sub)
+        for top, sub in params.items()
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "tx", "cfg", "num_steps", "freeze_encoder"),
+    donate_argnames=("state",),
+)
+def adapt_step(
+    model: DepthPoseNet,
+    tx: optax.GradientTransformation,
+    cfg: LossConfig,
+    state: TrainState,
+    online: FrameBatch,
+    training: FrameBatch,
+    num_steps: int,
+    freeze_encoder: bool = True,
+):
+    """One SLAM frame: K fused adaptation iterations + eval outputs.
+
+    Mirrors reference `adapt` (depth_pose_prediction.py:291-319) + the
+    embedding forward (slam/slam.py:143-147) in a single dispatch.
+
+    Returns (new_state, eval_losses, eval_outputs) where eval_* come from a
+    no-grad forward on the online frame with the post-update parameters.
+    """
+
+    def loss_fn(params, rng):
+        p = _frozen_encoder_params(params) if freeze_encoder else params
+        losses, _, _ = forward(
+            model, p, state.batch_stats, training, cfg,
+            train_bn=False, rng=rng,
+        )
+        return losses["loss"]
+
+    def one_iter(carry, _):
+        params, opt_state, rng = carry
+        rng, noise_rng = jax.random.split(rng)
+        loss, grads = jax.value_and_grad(loss_fn)(params, noise_rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rng), loss
+
+    (params, opt_state, rng), iter_losses = jax.lax.scan(
+        one_iter, (state.params, state.opt_state, state.rng), None, length=num_steps
+    )
+
+    # Eval forward on the online frame with adapted params (no noise).
+    eval_losses, eval_outputs, _ = forward(
+        model, params, state.batch_stats, online, cfg, train_bn=False
+    )
+    eval_outputs[("embedding",)] = l2_normalize(eval_outputs[("feat4",)])
+    eval_losses["iter_losses"] = iter_losses
+
+    new_state = TrainState(
+        params=params,
+        batch_stats=state.batch_stats,
+        opt_state=opt_state,
+        rng=rng,
+        step=state.step + 1,
+    )
+    return new_state, eval_losses, eval_outputs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "cfg"),
+)
+def eval_step(
+    model: DepthPoseNet,
+    cfg: LossConfig,
+    params,
+    batch_stats,
+    batch: FrameBatch,
+):
+    """No-grad forward: losses + outputs + normalised embedding.
+
+    The `adaptation: False` SLAM path (slam/slam.py:177-178) and validation.
+    """
+    losses, outputs, _ = forward(model, params, batch_stats, batch, cfg, train_bn=False)
+    outputs[("embedding",)] = l2_normalize(outputs[("feat4",)])
+    return losses, outputs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "tx", "cfg"),
+    donate_argnames=("state",),
+)
+def train_step(
+    model: DepthPoseNet,
+    tx: optax.GradientTransformation,
+    cfg: LossConfig,
+    state: TrainState,
+    batch: FrameBatch,
+):
+    """One pretraining step: full forward/backward with BN stat updates.
+
+    Reference train loop body (depth_pose_prediction.py:249-263).
+    """
+
+    def loss_fn(params, rng):
+        losses, _, new_stats = forward(
+            model, params, state.batch_stats, batch, cfg, train_bn=True, rng=rng
+        )
+        return losses["loss"], (losses, new_stats)
+
+    rng, noise_rng = jax.random.split(state.rng)
+    (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, noise_rng
+    )
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(
+        params=params,
+        batch_stats=new_stats,
+        opt_state=opt_state,
+        rng=rng,
+        step=state.step + 1,
+    )
+    return new_state, losses
+
+
+@partial(jax.jit, static_argnames=("model",))
+def predict_pose_step(model: DepthPoseNet, params, batch_stats, image_0, image_1):
+    """Relative pose between two images (loop closures).
+
+    Reference `predict_pose` (depth_pose_prediction.py:628-664): channel-cat,
+    pose net, forward transform, identity covariance placeholder.
+    """
+    pair = jnp.concatenate([image_0, image_1], axis=-1)
+    aa, tr = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        pair,
+        method=DepthPoseNet.pose_forward,
+    )
+    T = transformation_from_parameters(aa, tr, invert=False)
+    return T, jnp.eye(6)
+
+
+@partial(jax.jit, static_argnames=("model", "min_depth", "max_depth"))
+def predict_depth_step(
+    model: DepthPoseNet, params, batch_stats, image, min_depth=0.1, max_depth=None
+):
+    """Depth from a single image (reference `predict_from_image`, :538-554)."""
+    disps, feat4 = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        image,
+        method=DepthPoseNet.depth_forward,
+    )
+    return disp_to_depth(disps[("disp", 0)], min_depth, max_depth), l2_normalize(feat4)
