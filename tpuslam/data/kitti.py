@@ -1,0 +1,213 @@
+"""KITTI odometry loader (numpy host pipeline).
+
+Reads the same on-disk layout as the reference loader
+(/root/reference/datasets/kitti.py): `sequences/NN/image_2/*.png`,
+`sequences/NN/oxts/{data/*.txt,timestamps.txt}`, `poses/NN.txt`, optional
+`sequences/NN/gt_depth/image_02/*.png` (depth in cm).  Behavioural parity:
+
+* normalised intrinsics constant (kitti.py:65-66) scaled to the working
+  resolution,
+* velocity -> relative-distance integration from oxts speed norms
+  (kitti.py:319-331),
+* min-distance frame filtering that accumulates skipped distance
+  (kitti.py:217-229),
+* GT relative/absolute poses for frame +1 (kitti.py:306-314).
+"""
+from __future__ import annotations
+
+from datetime import datetime
+from pathlib import Path
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from tpuslam.data.base import (
+    KITTI_NORMALIZED_K,
+    Sample,
+    load_image,
+    random_color_jitter,
+    scale_intrinsics,
+)
+
+# KITTI raw-drive mapping for odometry sequences (00-10), used by the
+# raw-data extraction CLI (reference kitti.py:361-440).
+KITTI_RAW_SEQ_MAPPING = {
+    0: ("2011_10_03", "2011_10_03_drive_0027_sync", 0, 4540),
+    1: ("2011_10_03", "2011_10_03_drive_0042_sync", 0, 1100),
+    2: ("2011_10_03", "2011_10_03_drive_0034_sync", 0, 4660),
+    4: ("2011_09_30", "2011_09_30_drive_0016_sync", 0, 270),
+    5: ("2011_09_30", "2011_09_30_drive_0018_sync", 0, 2760),
+    6: ("2011_09_30", "2011_09_30_drive_0020_sync", 0, 1100),
+    7: ("2011_09_30", "2011_09_30_drive_0027_sync", 0, 1100),
+    8: ("2011_09_30", "2011_09_30_drive_0028_sync", 1100, 5170),
+    9: ("2011_09_30", "2011_09_30_drive_0033_sync", 0, 1590),
+    10: ("2011_09_30", "2011_09_30_drive_0034_sync", 0, 1200),
+}
+
+
+def _parse_timestamps(path: Path) -> np.ndarray:
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    lines = path.read_text().splitlines()
+    base = datetime.strptime(lines[0][:-3], fmt)
+    return np.array(
+        [(datetime.strptime(ln[:-3], fmt) - base).total_seconds() for ln in lines],
+        dtype=np.float64,
+    )
+
+
+class KittiOdometry:
+    """One or more KITTI odometry sequences as a frame-triplet stream."""
+
+    def __init__(
+        self,
+        data_path: Union[str, Path],
+        sequences: Union[int, Sequence[int]],
+        height: int = 192,
+        width: int = 640,
+        with_poses: bool = True,
+        with_depth: bool = False,
+        min_distance: float = 0.0,
+        do_augmentation: bool = False,
+        seed: int = 42,
+    ):
+        self.data_path = Path(data_path)
+        self.sequences = sorted(
+            (sequences,) if isinstance(sequences, int) else tuple(sequences)
+        )
+        if any(s > 10 for s in self.sequences):
+            raise ValueError("sequences above 10 have no ground-truth poses")
+        if 3 in self.sequences:
+            raise ValueError("sequence 3 has no IMU data")
+        self.height = height
+        self.width = width
+        self.with_poses = with_poses
+        self.with_depth = with_depth
+        self.do_augmentation = do_augmentation
+        self._aug_rng = np.random.default_rng(seed)
+        self.K = scale_intrinsics(KITTI_NORMALIZED_K, height, width)
+
+        self.image_files: list = []
+        self.depth_files: list = []
+        self.global_poses_list: list = []
+        self.relative_distances_list: list = []
+        self._sequence_bounds: list = []  # (start, end) per sequence in concat order
+
+        for seq in self.sequences:
+            seq_dir = self.data_path / "sequences" / f"{seq:02d}"
+            images = sorted((seq_dir / "image_2").glob("*.png"))
+            if not images:
+                raise FileNotFoundError(f"no images under {seq_dir / 'image_2'}")
+            ts = _parse_timestamps(seq_dir / "oxts" / "timestamps.txt")
+            vel_files = sorted((seq_dir / "oxts" / "data").glob("*.txt"))
+            speeds = np.array(
+                [np.linalg.norm(np.loadtxt(f)[8:11]) for f in vel_files], np.float64
+            )
+            # distance between consecutive frames = mean speed * dt
+            n = min(len(images), len(ts), len(speeds))
+            images, ts, speeds = images[:n], ts[:n], speeds[:n]
+            rel = np.zeros(n, np.float32)
+            rel[1:] = ((speeds[:-1] + speeds[1:]) / 2 * np.diff(ts)).astype(np.float32)
+
+            poses = None
+            if with_poses:
+                raw = np.loadtxt(self.data_path / "poses" / f"{seq:02d}.txt", dtype=np.float64)
+                poses = np.tile(np.eye(4, dtype=np.float32), (len(raw), 1, 1))
+                poses[:, :3, :4] = raw.reshape(-1, 3, 4).astype(np.float32)
+                poses = poses[:n]
+
+            depths: list = []
+            if with_depth:
+                depth_dir = seq_dir / "gt_depth" / "image_02"
+                stems = {int(p.stem): p for p in depth_dir.glob("*.png")}
+                keep = [i for i, img in enumerate(images) if int(img.stem) in stems]
+                depths = [stems[int(images[i].stem)] for i in keep]
+                images = [images[i] for i in keep]
+                rel = rel[keep]
+                ts = ts[keep]
+                if poses is not None:
+                    poses = poses[keep]
+
+            if min_distance > 0:
+                # keep frames at least min_distance apart, accumulating the
+                # skipped distance into the kept frame's relative distance
+                keep = [0]
+                acc = 0.0
+                kept_rel = [0.0]
+                for i in range(1, len(images)):
+                    acc += abs(float(rel[i]))
+                    if acc >= min_distance:
+                        keep.append(i)
+                        kept_rel.append(acc)
+                        acc = 0.0
+                images = [images[i] for i in keep]
+                rel = np.asarray(kept_rel, np.float32)
+                if poses is not None:
+                    poses = poses[keep]
+                if depths:
+                    depths = [depths[i] for i in keep]
+
+            start = len(self.image_files)
+            self.image_files.extend(images)
+            self.depth_files.extend(depths if depths else [None] * len(images))
+            self.relative_distances_list.append(rel)
+            if poses is not None:
+                self.global_poses_list.append(poses)
+            self._sequence_bounds.append((start, start + len(images)))
+
+        self.relative_distances = np.concatenate(self.relative_distances_list)
+        self.global_poses = (
+            np.concatenate(self.global_poses_list) if self.global_poses_list else None
+        )
+        # valid center indices: one frame margin inside each sequence
+        self._centers = []
+        for start, end in self._sequence_bounds:
+            self._centers.extend(range(start + 1, end - 1))
+
+    def __len__(self) -> int:
+        return len(self._centers)
+
+    def _load_depth(self, path: Path) -> np.ndarray:
+        from PIL import Image as PILImage
+
+        depth = np.asarray(PILImage.open(path), dtype=np.float32)
+        return depth / 100.0  # cm -> m (reference kitti.py:351)
+
+    def __getitem__(self, index: int) -> Sample:
+        if not 0 <= index < len(self):
+            raise IndexError(index)
+        center = self._centers[index]
+        frames = [
+            load_image(self.image_files[center + off], self.height, self.width)
+            for off in (-1, 0, 1)
+        ]
+        rgb = np.stack(frames)
+        rgb_aug = None
+        if self.do_augmentation:
+            jitter = random_color_jitter(self._aug_rng)
+            rgb_aug = np.stack([jitter(f) for f in frames])
+
+        rel_pose = abs_pose = None
+        if self.global_poses is not None:
+            rel_pose = (
+                np.linalg.inv(self.global_poses[center]) @ self.global_poses[center + 1]
+            ).astype(np.float32)
+            abs_pose = self.global_poses[center + 1].astype(np.float32)
+
+        depth = None
+        if self.with_depth and self.depth_files[center] is not None:
+            depth = self._load_depth(self.depth_files[center])
+
+        return Sample(
+            index=index,
+            rgb=rgb,
+            rgb_aug=rgb_aug,
+            K=self.K,
+            rel_dist=np.array(
+                [self.relative_distances[center], self.relative_distances[center + 1]],
+                np.float32,
+            ),
+            rel_pose=rel_pose,
+            abs_pose=abs_pose,
+            depth=depth,
+            filenames=tuple(self.image_files[center + off] for off in (-1, 0, 1)),
+        )
