@@ -27,7 +27,9 @@ def axis_angle_to_matrix(axis_angle: jax.Array) -> jax.Array:
     (depth_pose_prediction/utils.py:74-117) including its `angle + 1e-7`
     normalisation guard so tiny rotations behave identically.
     """
-    angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    # safe norm: finite gradient at exactly zero rotation (plain norm has a
+    # 0/0 JVP there, which would poison the fused train step's backward)
+    angle = jnp.sqrt(jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True) + 1e-24)
     axis = axis_angle / (angle + _EPS)
     ca = jnp.cos(angle)[..., None]
     sa = jnp.sin(angle)[..., None]
@@ -82,12 +84,15 @@ def _copysign(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def quaternion_to_axis_angle(quaternions: jax.Array) -> jax.Array:
-    """(..., 4) quaternion (w, x, y, z) -> (..., 3) rotation vector."""
-    norms = jnp.linalg.norm(quaternions[..., 1:], axis=-1, keepdims=True)
+    """(..., 4) quaternion (w, x, y, z) -> (..., 3) rotation vector.
+
+    Safe-norm + wide Taylor branch: smooth (finite-JVP) at the identity.
+    """
+    sq = jnp.sum(quaternions[..., 1:] * quaternions[..., 1:], axis=-1, keepdims=True)
+    norms = jnp.sqrt(sq + 1e-24)
     half_angles = jnp.arctan2(norms, quaternions[..., :1])
     angles = 2 * half_angles
-    eps = 1e-6
-    small = jnp.abs(angles) < eps
+    small = jnp.abs(angles) < 1e-3
     # Taylor: sin(x/2)/x ~ 1/2 - x^2/48
     sin_half_over_angle = jnp.where(
         small,
@@ -176,17 +181,23 @@ def so3_log(R: jax.Array) -> jax.Array:
 
 
 def se3_exp(xi: jax.Array) -> jax.Array:
-    """(..., 6) twist (v, w) -> (..., 4, 4) SE(3) via the exponential map."""
+    """(..., 6) twist (v, w) -> (..., 4, 4) SE(3) via the exponential map.
+
+    f32-stable: B uses 2*sin^2(theta/2) (never the cancelling 1-cos), and the
+    Taylor branch extends to theta < 1e-2 where the series error is < 1e-9.
+    """
     v, w = xi[..., :3], xi[..., 3:]
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    sq = jnp.sum(w * w, axis=-1)[..., None, None]  # theta^2, smooth at 0
     W = so3_hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
-    small = theta < 1e-6
-    theta_safe = jnp.where(small, jnp.ones_like(theta), theta)
-    A = jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(theta_safe) / theta_safe)
-    B = jnp.where(small, 0.5 - theta**2 / 24.0, (1 - jnp.cos(theta_safe)) / theta_safe**2)
-    C = jnp.where(small, 1.0 / 6.0 - theta**2 / 120.0, (1 - A) / theta_safe**2)
+    small = sq < 1e-4  # theta < 1e-2: Taylor error < 1e-9
+    sq_safe = jnp.where(small, jnp.ones_like(sq), sq)
+    theta_safe = jnp.sqrt(sq_safe)
+    sin_half = jnp.sin(theta_safe / 2.0)
+    A = jnp.where(small, 1.0 - sq / 6.0, jnp.sin(theta_safe) / theta_safe)
+    B = jnp.where(small, 0.5 - sq / 24.0, 2.0 * sin_half**2 / sq_safe)
+    C = jnp.where(small, 1.0 / 6.0 - sq / 120.0, (1 - A) / sq_safe)
     R = eye + A * W + B * W2
     V = eye + B * W + C * W2
     t = (V @ v[..., None])[..., 0]
@@ -199,19 +210,21 @@ def se3_log(T: jax.Array) -> jax.Array:
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     w = so3_log(R)
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    sq = jnp.sum(w * w, axis=-1)[..., None, None]
     W = so3_hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
-    small = theta < 1e-6
-    theta_safe = jnp.where(small, jnp.ones_like(theta), theta)
-    # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
-    A = jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(theta_safe) / theta_safe)
-    B = jnp.where(small, 0.5 - theta**2 / 24.0, (1 - jnp.cos(theta_safe)) / theta_safe**2)
+    # f32-stable: wide Taylor branch + half-angle cotangent form
+    # coef = (1 - (theta/2) * cot(theta/2)) / theta^2
+    small = sq < 1e-4
+    sq_safe = jnp.where(small, jnp.ones_like(sq), sq)
+    theta_safe = jnp.sqrt(sq_safe)
+    half = theta_safe / 2.0
+    cot_term = half * jnp.cos(half) / jnp.sin(half)
     coef = jnp.where(
         small,
-        1.0 / 12.0 + theta**2 / 720.0,
-        (1.0 - A / (2.0 * B)) / theta_safe**2,
+        1.0 / 12.0 + sq / 720.0,
+        (1.0 - cot_term) / sq_safe,
     )
     Vinv = eye - 0.5 * W + coef * W2
     v = (Vinv @ t[..., None])[..., 0]
