@@ -1,0 +1,96 @@
+"""tpuslam benchmark: online-adaptation throughput on one chip.
+
+Measures the reference protocol's hot path — per frame: 5 fused adaptation
+iterations (forward+backward+Adam, batch 3 = 1 online + 2 replay at 192x640)
+plus the eval forward producing pose/depth/embeddings — i.e. everything
+`Slam.step` dispatches to the device, on pre-rendered synthetic frames so
+host decode is out of the measurement.
+
+Prints ONE JSON line: frames/sec vs the 100 fps north star
+(BASELINE.json: ">=100 frames/sec combined inference+adaptation").
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.data import SyntheticDataset
+from tpuslam.models import init_depth_pose
+from tpuslam.train import (
+    LossConfig,
+    adapt_step,
+    concat_batches,
+    make_adapt_optimizer,
+    make_frame_batch,
+    make_train_state,
+)
+
+HEIGHT, WIDTH = 192, 640
+BATCH = 3
+ADAPT_ITERS = 5
+WARMUP = 3
+MEASURE = 30
+NORTH_STAR_FPS = 100.0
+
+
+def build_batches():
+    ds = SyntheticDataset(num_frames=WARMUP + MEASURE + 2, height=HEIGHT, width=WIDTH)
+    batches = []
+    for i in range(WARMUP + MEASURE):
+        online = ds[i]
+        replay = [ds[(i + 7) % len(ds)], ds[(i + 13) % len(ds)]]
+        ob = make_frame_batch(online.rgb[None], online.K, online.rel_dist[None])
+        rb = make_frame_batch(
+            np.stack([r.rgb for r in replay]),
+            np.stack([r.K for r in replay]),
+            np.stack([r.rel_dist for r in replay]),
+        )
+        batches.append((ob, concat_batches(ob, rb)))
+    return batches
+
+
+def main() -> None:
+    model, variables = init_depth_pose(
+        jax.random.PRNGKey(0), height=HEIGHT, width=WIDTH
+    )
+    cfg = LossConfig(scales=(0, 1, 2, 3), min_depth=0.1, max_depth=None)
+    tx = make_adapt_optimizer(variables["params"], 1e-4)
+    state = make_train_state(variables["params"], variables["batch_stats"], tx)
+    batches = build_batches()
+
+    for online, training in batches[:WARMUP]:
+        state, losses, outputs = adapt_step(
+            model, tx, cfg, state, online, training, num_steps=ADAPT_ITERS
+        )
+    # hard sync via host transfer: on some backends block_until_ready returns
+    # before execution finishes, so force a scalar readback instead
+    float(losses["loss"])
+
+    t0 = time.perf_counter()
+    for online, training in batches[WARMUP:]:
+        state, losses, outputs = adapt_step(
+            model, tx, cfg, state, online, training, num_steps=ADAPT_ITERS
+        )
+    final_loss = float(losses["loss"])  # syncs the whole dependent chain
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(final_loss), "bench produced non-finite loss"
+
+    fps = MEASURE / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "online_adapt_frames_per_sec",
+                "value": round(fps, 2),
+                "unit": "frames/sec (5 adapt iters + eval fwd, batch 3, 192x640)",
+                "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

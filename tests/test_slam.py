@@ -1,0 +1,98 @@
+"""End-to-end SLAM loop on the hermetic synthetic sequence (SURVEY §4c)."""
+import numpy as np
+import pytest
+
+from tpuslam.config import Config
+from tpuslam.config.schema import DatasetConfig, DepthPoseConfig, SlamConfig
+from tpuslam.data import SyntheticDataset
+from tpuslam.slam import Slam
+
+H, W = 64, 96
+
+
+def _config(tmp_path, **slam_kwargs) -> Config:
+    cfg = Config()
+    cfg.dataset = DatasetConfig(dataset="Synthetic", height=H, width=W, num_frames=12)
+    cfg.depth_pose = DepthPoseConfig(
+        batch_size=3, scales=(0, 1), log_path=tmp_path / "log"
+    )
+    defaults = dict(
+        adaptation=True,
+        adaptation_epochs=2,
+        min_distance=0.0,
+        do_loop_closures=False,
+        lc_distance_poses=3,
+        keyframe_frequency=2,
+    )
+    defaults.update(slam_kwargs)
+    cfg.slam = SlamConfig(**defaults)
+    cfg.replay_buffer.max_buffer_size = 8
+    cfg.loop_closure.id_threshold = 3
+    cfg.loop_closure.detection_threshold = 0.8
+    return cfg
+
+
+@pytest.mark.slow
+def test_slam_loop_runs_end_to_end(tmp_path):
+    slam = Slam(_config(tmp_path))
+    for _ in range(6):
+        losses = slam.step()
+    assert np.isfinite(losses["loss"])
+    # graph grew: vertex 0 + one per step
+    assert slam.pose_graph.vertex_ids == list(range(7))
+    assert slam.gt_pose_graph.vertex_ids == list(range(7))
+    # replay buffer collected frames
+    assert len(slam.replay_buffer) > 0
+    # metric series tracked
+    assert len(slam.rel_trans_error) == 6
+    assert len(slam.depth_error) == 6  # synthetic has GT depth
+    report = slam.final_report()
+    assert "Abs traj RMSE" in report
+    slam.save_metrics()
+    assert (tmp_path / "log" / "metrics.pkl").exists()
+
+
+@pytest.mark.slow
+def test_slam_no_adaptation_is_pure_inference(tmp_path):
+    cfg = _config(tmp_path, adaptation=False)
+    slam = Slam(cfg)
+    params_before = np.asarray(
+        slam.state.params["depth_decoder"]["dispconv_0_conv"]["kernel"]
+    ).copy()
+    slam.step()
+    slam.step()
+    params_after = np.asarray(
+        slam.state.params["depth_decoder"]["dispconv_0_conv"]["kernel"]
+    )
+    np.testing.assert_array_equal(params_before, params_after)
+    assert slam.replay_buffer is None
+
+
+@pytest.mark.slow
+def test_slam_skip_rule(tmp_path):
+    """A frame below min_distance is skipped: zero losses, no graph vertex."""
+    cfg = _config(tmp_path)
+    cfg.slam.min_distance = 1e9  # everything (after frame 1) skips
+    slam = Slam(cfg)
+    slam.step()  # first frame always processes
+    out = slam.step()
+    assert out == {"depth_loss": 0.0, "velocity_loss": 0.0}
+    assert slam.pose_graph.vertex_ids == [0, 1]
+
+
+@pytest.mark.slow
+def test_slam_loop_closure_on_loop_trajectory(tmp_path):
+    """A closed-loop trajectory with a revisited start must fire a loop edge."""
+    cfg = _config(tmp_path, do_loop_closures=True)
+    cfg.dataset = DatasetConfig(
+        dataset="Synthetic", height=H, width=W, num_frames=30, trajectory="loop"
+    )
+    cfg.slam.adaptation = False  # keep it fast; LC path is what we test
+    cfg.loop_closure.id_threshold = 10
+    cfg.loop_closure.detection_threshold = 0.5
+    slam = Slam(cfg)
+    for _ in range(30):
+        slam.step()
+    # embeddings of revisited poses should have matched at least once
+    assert slam.pose_graph.num_loop_closures >= 1
+    assert len(slam.loop_closure_detection) == 30

@@ -1,0 +1,145 @@
+"""Import reference PyTorch checkpoints into tpuslam's flax parameter tree.
+
+Maps the reference's per-network `.pth` state dicts
+(depth_encoder/depth_decoder/pose_encoder/pose_decoder saved by
+/root/reference/depth_pose_prediction/depth_pose_prediction.py:669-703, keys
+following torchvision ResNet and the monodepth2 decoders) onto the
+`DepthPoseNet` tree, so models pretrained with the reference can be served /
+adapted by this framework.  Conv kernels transpose OIHW -> HWIO; BatchNorm
+weight/bias/running_mean/running_var map to scale/bias/mean/var.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _to_numpy(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy(), np.float32)
+
+
+def _conv(t) -> np.ndarray:
+    return _to_numpy(t).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def _load_pth(path: Path) -> Dict[str, Any]:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _import_resnet(
+    state: Dict[str, Any], prefix: str = "resnet."
+) -> Tuple[Dict, Dict]:
+    """Torch ResNet state dict -> (params subtree, batch_stats subtree)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn(src: str, dst: str):
+        params[dst] = {
+            "scale": _to_numpy(state[f"{src}.weight"]),
+            "bias": _to_numpy(state[f"{src}.bias"]),
+        }
+        stats[dst] = {
+            "mean": _to_numpy(state[f"{src}.running_mean"]),
+            "var": _to_numpy(state[f"{src}.running_var"]),
+        }
+
+    params["conv1"] = {"kernel": _conv(state[f"{prefix}conv1.weight"])}
+    bn(f"{prefix}bn1", "bn1")
+    layer = 1
+    while f"{prefix}layer{layer}.0.conv1.weight" in state:
+        block = 0
+        while f"{prefix}layer{layer}.{block}.conv1.weight" in state:
+            name = f"layer{layer}_{block}"
+            src = f"{prefix}layer{layer}.{block}"
+            sub = {
+                "conv1": {"kernel": _conv(state[f"{src}.conv1.weight"])},
+                "conv2": {"kernel": _conv(state[f"{src}.conv2.weight"])},
+            }
+            sub_stats: Dict[str, Any] = {}
+            for bn_i in (1, 2):
+                sub[f"bn{bn_i}"] = {
+                    "scale": _to_numpy(state[f"{src}.bn{bn_i}.weight"]),
+                    "bias": _to_numpy(state[f"{src}.bn{bn_i}.bias"]),
+                }
+                sub_stats[f"bn{bn_i}"] = {
+                    "mean": _to_numpy(state[f"{src}.bn{bn_i}.running_mean"]),
+                    "var": _to_numpy(state[f"{src}.bn{bn_i}.running_var"]),
+                }
+            if f"{src}.downsample.0.weight" in state:
+                sub["downsample_conv"] = {
+                    "kernel": _conv(state[f"{src}.downsample.0.weight"])
+                }
+                sub["downsample_bn"] = {
+                    "scale": _to_numpy(state[f"{src}.downsample.1.weight"]),
+                    "bias": _to_numpy(state[f"{src}.downsample.1.bias"]),
+                }
+                sub_stats["downsample_bn"] = {
+                    "mean": _to_numpy(state[f"{src}.downsample.1.running_mean"]),
+                    "var": _to_numpy(state[f"{src}.downsample.1.running_var"]),
+                }
+            params[name] = sub
+            stats[name] = sub_stats
+            block += 1
+        layer += 1
+    return params, stats
+
+
+def _import_depth_decoder(state: Dict[str, Any]) -> Dict:
+    params: Dict[str, Any] = {}
+    for i in range(5):
+        for j in range(2):
+            src = f"upconv_{i}_{j}.conv.conv"
+            params[f"upconv_{i}_{j}_conv"] = {
+                "kernel": _conv(state[f"{src}.weight"]),
+                "bias": _to_numpy(state[f"{src}.bias"]),
+            }
+    for key in state:
+        if key.startswith("dispconv_") and key.endswith(".conv.weight"):
+            s = key.split("_")[1].split(".")[0]
+            params[f"dispconv_{s}_conv"] = {
+                "kernel": _conv(state[f"dispconv_{s}.conv.weight"]),
+                "bias": _to_numpy(state[f"dispconv_{s}.conv.bias"]),
+            }
+    return params
+
+
+def _import_pose_decoder(state: Dict[str, Any]) -> Dict:
+    params: Dict[str, Any] = {}
+    for name in ("squeeze", "pose_0", "pose_1", "pose_2"):
+        params[name] = {
+            "kernel": _conv(state[f"{name}.weight"]),
+            "bias": _to_numpy(state[f"{name}.bias"]),
+        }
+    return params
+
+
+def import_reference_checkpoint(weights_folder: Path) -> Tuple[Dict, Dict]:
+    """Load a reference `weights_NNN/` folder -> (params, batch_stats) trees
+    compatible with `DepthPoseNet` variables."""
+    weights_folder = Path(weights_folder)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    enc_state = _load_pth(weights_folder / "depth_encoder.pth")
+    params["depth_encoder"], stats["depth_encoder"] = _import_resnet(enc_state)
+
+    pose_enc_state = _load_pth(weights_folder / "pose_encoder.pth")
+    # reference pose encoders built via resnet_multiimage_input store their
+    # modules without the 'resnet.' wrapper... they still use it (the wrapper
+    # class sets self.resnet); handle both layouts.
+    prefix = "resnet." if any(k.startswith("resnet.") for k in pose_enc_state) else ""
+    params["pose_encoder"], stats["pose_encoder"] = _import_resnet(
+        pose_enc_state, prefix=prefix
+    )
+
+    params["depth_decoder"] = _import_depth_decoder(
+        _load_pth(weights_folder / "depth_decoder.pth")
+    )
+    params["pose_decoder"] = _import_pose_decoder(
+        _load_pth(weights_folder / "pose_decoder.pth")
+    )
+    return params, stats

@@ -1,0 +1,109 @@
+"""Typed configuration schema — the same five sections as the reference.
+
+Field names follow the reference dataclasses (datasets/config.py:7-14,
+depth_pose_prediction/config.py:7-32, loop_closure_detection/config.py:6-10,
+slam/config.py:6-25) so existing YAML configs translate mechanically; TPU-
+specific knobs (dtype, embedder choice, buffer storage mode) are additive.
+The shipped reference `config_pretrain.yaml` uses stale keys (`type`,
+`resnet`) that its own parser would reject (SURVEY §5); our defaults are
+modernised rather than reproducing that breakage.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional, Tuple, Union
+
+
+@dataclasses.dataclass
+class DatasetConfig:
+    dataset: str = "Synthetic"  # Kitti | RobotCar | Cityscapes | Synthetic
+    dataset_path: Optional[Path] = None
+    height: int = 192
+    width: int = 640
+    scales: Tuple[int, ...] = (0, 1, 2, 3)
+    frame_ids: Tuple[int, ...] = (0, -1, 1)
+    # synthetic-only knobs
+    num_frames: int = 128
+    trajectory: str = "curve"
+    config_file: Optional[Path] = None
+
+
+@dataclasses.dataclass
+class DepthPoseConfig:
+    train_set: Optional[Union[Tuple, int, str]] = "all"
+    val_set: Optional[Union[Tuple, int, str]] = 0
+    resnet_depth: int = 18
+    resnet_pose: int = 18
+    resnet_pretrained: bool = False  # no ImageNet download in zero-egress envs
+    scales: Tuple[int, ...] = (0, 1, 2, 3)
+    learning_rate: float = 1e-4
+    scheduler_step_size: int = 15
+    batch_size: int = 3
+    num_workers: int = 0
+    num_epochs: int = 25
+    min_depth: Optional[float] = 0.1
+    max_depth: Optional[float] = None
+    disparity_smoothness: float = 1e-3
+    velocity_loss_scaling: Optional[float] = 0.05
+    mask_dynamic: bool = False
+    log_path: Path = Path("./log/run")
+    save_frequency: int = -1
+    save_val_depth: bool = False
+    save_val_depth_batches: int = 0
+    load_weights_folder: Optional[Path] = None
+    use_wandb: bool = False
+    # TPU-native knobs
+    dtype: str = "float32"  # or "bfloat16" for the conv compute path
+    dp_devices: int = 1  # data-parallel mesh size for pretraining
+    config_file: Optional[Path] = None
+
+
+@dataclasses.dataclass
+class ReplayBufferConfig:
+    maximize_diversity: bool = True
+    max_buffer_size: int = 100
+    similarity_threshold: float = 0.95
+    similarity_sampling: bool = False
+    load_path: Optional[Path] = None
+    config_file: Optional[Path] = None
+
+
+@dataclasses.dataclass
+class LoopClosureConfig:
+    detection_threshold: float = 0.99
+    id_threshold: int = 250
+    num_matches: int = 1
+    # 'mobilenet' (576-d, reference parity) or 'depth_encoder' (512-d pooled
+    # stage-4 feature, zero extra FLOPs — the TPU-native default)
+    embedder: str = "depth_encoder"
+    config_file: Optional[Path] = None
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    dataset_sequence: Union[int, str] = 9
+    adaptation: bool = True
+    adaptation_epochs: int = 5
+    min_distance: float = 0.2
+    start_frame: int = 0
+    logging: bool = True
+    do_loop_closures: bool = True
+    keyframe_frequency: int = 5
+    lc_distance_poses: int = 150
+    # dual-network expert/generalist mode (BASELINE config rung 3)
+    use_expert: bool = False
+    config_file: Optional[Path] = None
+
+
+@dataclasses.dataclass
+class Config:
+    dataset: DatasetConfig = dataclasses.field(default_factory=DatasetConfig)
+    depth_pose: DepthPoseConfig = dataclasses.field(default_factory=DepthPoseConfig)
+    replay_buffer: ReplayBufferConfig = dataclasses.field(
+        default_factory=ReplayBufferConfig
+    )
+    loop_closure: LoopClosureConfig = dataclasses.field(
+        default_factory=LoopClosureConfig
+    )
+    slam: SlamConfig = dataclasses.field(default_factory=SlamConfig)

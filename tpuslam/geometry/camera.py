@@ -104,42 +104,39 @@ def bilinear_sampler(img: jax.Array, coords: jax.Array) -> jax.Array:
 
     Returns:
       (B, Ho, Wo, C) sampled image.
+
+    Implementation: ONE `lax.gather` of 2x2xC patches per call instead of four
+    scalar-pixel gathers — the patch start is clamped to [0, dim-2], which is
+    exactly equivalent at the border (the shifted-window weight lands entirely
+    on the border texel) and quarters the gather count, the dominant memory
+    traffic of the warp stage on TPU.
     """
     B, H, W, C = img.shape
-    x = coords[..., 0]
-    y = coords[..., 1]
+    _, Ho, Wo, _ = coords.shape
+    x = jnp.clip(coords[..., 0], 0.0, W - 1)
+    y = jnp.clip(coords[..., 1], 0.0, H - 1)
 
-    # border padding == clamp the sampling location to the valid square first
-    x = jnp.clip(x, 0.0, W - 1)
-    y = jnp.clip(y, 0.0, H - 1)
+    x0 = jnp.minimum(jnp.floor(x), W - 2)
+    y0 = jnp.minimum(jnp.floor(y), H - 2)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
+    starts = jnp.stack(
+        [y0.reshape(B, -1), x0.reshape(B, -1)], axis=-1
+    ).astype(jnp.int32)  # (B, HoWo, 2)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patches = jax.lax.gather(
+        img, starts, dn, slice_sizes=(1, 2, 2, C)
+    ).reshape(B, Ho, Wo, 2, 2, C)
 
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, W - 1)
-    y1i = jnp.minimum(y0i + 1, H - 1)
-
-    flat = img.reshape(B, H * W, C)
-
-    def gather(yi, xi):
-        idx = yi * W + xi  # (B, Ho, Wo)
-        return jnp.take_along_axis(
-            flat, idx.reshape(B, -1, 1), axis=1
-        ).reshape(idx.shape + (C,))
-
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x1i)
-    v10 = gather(y1i, x0i)
-    v11 = gather(y1i, x1i)
-
-    wx = wx[..., None]
-    wy = wy[..., None]
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
+    top = patches[..., 0, 0, :] * (1 - wx) + patches[..., 0, 1, :] * wx
+    bot = patches[..., 1, 0, :] * (1 - wx) + patches[..., 1, 1, :] * wx
     return top * (1 - wy) + bot * wy
 
 

@@ -1,0 +1,433 @@
+"""Online continual-SLAM orchestrator.
+
+Step semantics follow the reference loop (/root/reference/slam/slam.py:137-281)
+with the compute path restructured for TPU: per frame, ONE fused XLA dispatch
+(`adapt_step`) performs the K adaptation iterations, the eval forward, and
+produces the pose, depth, losses and retrieval embeddings; host code does the
+replay-buffer bookkeeping, pose-graph maintenance, loop-closure search and
+metric logging around it.
+
+Preserved reference behaviours (quirks documented in SURVEY §7):
+* skip frames whose signed relative distance is below `min_distance`
+  (slam.py:165-168) — zero losses returned, no vertex added;
+* sign-flip: the odometry edge uses inv(cam_T_cam(0,1)) unless the rig is
+  reversing (:181-184);
+* odometry covariance diag(1,1,.1,1,1,.1) -> information inv(cov); loop
+  closures weighted 0.5x (:212-214, 238-244);
+* first graph vertex pinned to dataset.global_poses[1] (:112);
+* loop-closure cadence: every `keyframe_frequency` steps while
+  step < 4000, with `lc_distance_poses` cooldown (:224-225);
+* `start_frame` gating for delayed mapping (:205-211).
+"""
+from __future__ import annotations
+
+import pickle
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.config.schema import Config
+from tpuslam.checkpoint.io import latest_checkpoint, load_checkpoint
+from tpuslam.data import KittiOdometry, SyntheticDataset
+from tpuslam.data.base import Sample
+from tpuslam.eval.depth import calc_depth_error
+from tpuslam.eval.trajectory import rotation_error, translation_error
+from tpuslam.loopclosure import LoopClosureDetection
+from tpuslam.memory import ReplayBuffer
+from tpuslam.models import DepthPoseNet, init_depth_pose
+from tpuslam.models.embedder import l2_normalize
+from tpuslam.posegraph import PoseGraph
+from tpuslam.train import (
+    FrameBatch,
+    LossConfig,
+    adapt_step,
+    concat_batches,
+    eval_step,
+    make_adapt_optimizer,
+    make_frame_batch,
+    make_train_state,
+    pad_batch,
+    predict_pose_step,
+)
+
+LC_MAX_STEP = 4000  # reference hard cap (slam/slam.py:224)
+
+
+def _embed_frame(model, params, batch_stats, image):
+    """Pooled stage-4 depth-encoder feature of one (1, H, W, 3) image."""
+    _, feat = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        image,
+        method=DepthPoseNet.depth_forward,
+    )
+    return l2_normalize(feat)
+
+
+class Slam:
+    def __init__(self, config: Config, dataset=None):
+        self.config = config
+        sc, dc, pc = config.slam, config.dataset, config.depth_pose
+        self.do_adaptation = sc.adaptation
+        self.adaptation_epochs = sc.adaptation_epochs
+        self.min_distance = sc.min_distance
+        self.start_frame = sc.start_frame
+        self.logging = sc.logging
+        self.do_loop_closures = sc.do_loop_closures
+        self.keyframe_frequency = sc.keyframe_frequency
+        self.lc_distance_poses = sc.lc_distance_poses
+        self.batch_size = pc.batch_size if self.do_adaptation else 1
+        self.log_path = Path(pc.log_path)
+        self.log_path.mkdir(parents=True, exist_ok=True)
+
+        # --- dataset ----------------------------------------------------
+        if dataset is not None:
+            self.dataset = dataset
+        elif dc.dataset == "Kitti":
+            self.dataset = KittiOdometry(
+                dc.dataset_path,
+                int(sc.dataset_sequence),
+                height=dc.height,
+                width=dc.width,
+                with_poses=True,
+                min_distance=sc.min_distance,
+            )
+        elif dc.dataset == "Synthetic":
+            self.dataset = SyntheticDataset(
+                num_frames=dc.num_frames,
+                height=dc.height,
+                width=dc.width,
+                trajectory=dc.trajectory,
+            )
+        else:
+            raise ValueError(f"unsupported dataset type {dc.dataset}")
+
+        # --- model + fused step state -----------------------------------
+        self.model, variables = init_depth_pose(
+            jax.random.PRNGKey(0),
+            height=dc.height,
+            width=dc.width,
+            resnet_depth=pc.resnet_depth,
+            resnet_pose=pc.resnet_pose,
+            scales=pc.scales,
+            dtype=jnp.bfloat16 if pc.dtype == "bfloat16" else jnp.float32,
+        )
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        if pc.load_weights_folder is not None and Path(pc.load_weights_folder).exists():
+            params, batch_stats, _, _ = load_checkpoint(
+                pc.load_weights_folder, params, batch_stats
+            )
+            print(f"slam: loaded weights from {pc.load_weights_folder}")
+        self.tx = make_adapt_optimizer(params, pc.learning_rate)
+        self.state = make_train_state(params, batch_stats, self.tx)
+        self.loss_cfg = LossConfig(
+            scales=tuple(pc.scales),
+            min_depth=pc.min_depth,
+            max_depth=pc.max_depth,
+            disparity_smoothness=pc.disparity_smoothness,
+            velocity_loss_scaling=pc.velocity_loss_scaling,
+        )
+
+        # --- replay buffer ----------------------------------------------
+        if self.do_adaptation and self.batch_size > 1:
+            rb = config.replay_buffer
+            state_path = None
+            if rb.load_path is not None:
+                buffer_dir = Path(rb.load_path)
+                buffer_dir.mkdir(parents=True, exist_ok=True)
+                candidate = buffer_dir / "buffer_state.pkl"
+                state_path = candidate if candidate.exists() else None
+            else:
+                buffer_dir = None
+            self.replay_buffer = ReplayBuffer(
+                storage_dir=buffer_dir,
+                state_path=state_path,
+                height=dc.height,
+                width=dc.width,
+                batch_size=self.batch_size - 1,
+                max_buffer_size=rb.max_buffer_size,
+                maximize_diversity=rb.maximize_diversity,
+                similarity_threshold=rb.similarity_threshold,
+                similarity_sampling=rb.similarity_sampling,
+            )
+        else:
+            self.replay_buffer = None
+
+        # --- loop closures + pose graphs --------------------------------
+        lc = config.loop_closure
+        self.lc_embedder = lc.embedder
+        num_features = 512 if lc.embedder == "depth_encoder" else 576
+        self.loop_closure_detection = LoopClosureDetection(
+            detection_threshold=lc.detection_threshold,
+            id_threshold=lc.id_threshold,
+            num_matches=lc.num_matches,
+            num_features=num_features,
+        )
+        if self.lc_embedder == "mobilenet":
+            from tpuslam.models.embedder import MobileNetV3SmallEmbedder
+
+            self._mobilenet = MobileNetV3SmallEmbedder()
+            self._mobilenet_vars = self._mobilenet.init(
+                jax.random.PRNGKey(1), jnp.zeros((1, dc.height, dc.width, 3))
+            )
+            self._mobilenet_apply = jax.jit(
+                lambda v, x: self._mobilenet.apply(v, x)
+            )
+
+        self.pose_graph = PoseGraph()
+        self.gt_pose_graph = PoseGraph()
+        if self.start_frame == 0:
+            # reference quirk: first vertex is global_poses[1]
+            self.pose_graph.add_vertex(0, self.dataset.global_poses[1], fixed=True)
+        self.gt_pose_graph.add_vertex(0, self.dataset.global_poses[1], fixed=True)
+
+        # --- bookkeeping -------------------------------------------------
+        self.current_step = 0
+        self.since_last_loop_closures = self.lc_distance_poses
+        self.rel_trans_error: List[float] = []
+        self.rel_rot_error: List[float] = []
+        self.depth_loss: List[float] = []
+        self.velocity_loss: List[float] = []
+        self.depth_error: List[Dict[str, float]] = []
+        self.step_times: List[float] = []
+        self._lc_cache: Dict[int, np.ndarray] = {}  # frame+1 images by step
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    # ------------------------------------------------------------------
+    def _sample_to_batch(self, sample: Sample) -> FrameBatch:
+        return make_frame_batch(
+            sample.rgb[None],
+            sample.K,
+            sample.rel_dist[None],
+            rgb_aug=None if sample.rgb_aug is None else sample.rgb_aug[None],
+        )
+
+    def _training_batch(self, online: FrameBatch, sample: Sample) -> FrameBatch:
+        if self.replay_buffer is None or len(self.replay_buffer) == 0:
+            return pad_batch(online, self.batch_size)
+        draws = self.replay_buffer.get(current_index=sample.index)
+        if not draws:
+            return pad_batch(online, self.batch_size)
+        replay = make_frame_batch(
+            np.stack([d.rgb for d in draws]),
+            np.stack([d.K for d in draws]),
+            np.stack([d.rel_dist for d in draws]),
+            rgb_aug=np.stack([d.aug for d in draws]),
+        )
+        return pad_batch(concat_batches(online, replay), self.batch_size)
+
+    def _lc_embedding(self, sample: Sample, outputs) -> np.ndarray:
+        """Embedding of the frame +1 image for the LC index."""
+        if self.lc_embedder == "mobilenet":
+            emb = self._mobilenet_apply(
+                self._mobilenet_vars, jnp.asarray(sample.rgb[2][None])
+            )
+            return np.asarray(l2_normalize(emb))[0]
+        emb = _embed_frame(
+            self.model,
+            self.state.params,
+            self.state.batch_stats,
+            jnp.asarray(sample.rgb[2][None]),
+        )
+        return np.asarray(emb)[0]
+
+    # ------------------------------------------------------------------
+    def step(self) -> Dict[str, float]:
+        self.current_step += 1
+        t_start = time.perf_counter()
+        sample = self.dataset[self.current_step - 1]
+        online = self._sample_to_batch(sample)
+
+        # skip-frame rule: signed relative distance below threshold
+        if self.current_step > 1 and float(sample.rel_dist[1]) < self.min_distance:
+            return {"depth_loss": 0.0, "velocity_loss": 0.0}
+
+        # --- the fused dispatch -----------------------------------------
+        if self.do_adaptation:
+            training = self._training_batch(online, sample)
+            self.state, losses, outputs = adapt_step(
+                self.model,
+                self.tx,
+                self.loss_cfg,
+                self.state,
+                online,
+                training,
+                num_steps=self.adaptation_epochs,
+            )
+        else:
+            losses, outputs = eval_step(
+                self.model, self.loss_cfg, self.state.params,
+                self.state.batch_stats, online,
+            )
+
+        embedding = np.asarray(outputs[("embedding",)])[0]
+        if self.replay_buffer is not None:
+            self.replay_buffer.add(sample, embedding)
+
+        T01 = np.asarray(outputs[("cam_T_cam", 0, 1)][0], np.float64)
+        if float(np.sign(sample.rel_dist[1])) < 0:
+            transformation = T01  # reversing
+        else:
+            transformation = np.linalg.inv(T01)
+
+        losses_out = {
+            "depth_loss": float(losses.get("depth_loss", 0.0)),
+            "velocity_loss": float(losses.get("velocity_loss", 0.0)),
+            "loss": float(losses.get("loss", 0.0)),
+        }
+
+        # --- ground-truth graph ----------------------------------------
+        gt_transformation = np.asarray(sample.rel_pose, np.float64)
+        gt_pose = np.asarray(sample.abs_pose, np.float64)
+        self.gt_pose_graph.add_vertex(self.current_step, gt_pose)
+        self.gt_pose_graph.add_edge(
+            (self.gt_pose_graph.vertex_ids[-2], self.current_step), gt_transformation
+        )
+
+        # --- predicted pose graph --------------------------------------
+        if self.current_step == self.start_frame:
+            self.pose_graph.add_vertex(self.current_step, gt_pose, fixed=True)
+        elif self.current_step > self.start_frame:
+            prev_id = self.pose_graph.vertex_ids[-1]
+            odom_pose = self.pose_graph.get_pose(prev_id) @ transformation
+            self.pose_graph.add_vertex(self.current_step, odom_pose)
+            cov = np.eye(6)
+            cov[2, 2] = cov[5, 5] = 0.1
+            self.pose_graph.add_edge(
+                (prev_id, self.current_step),
+                transformation,
+                information=np.linalg.inv(cov),
+            )
+
+        # --- loop closures ----------------------------------------------
+        optimized = False
+        if self.do_loop_closures and self.current_step >= self.start_frame:
+            self.loop_closure_detection.add(
+                self.current_step, self._lc_embedding(sample, outputs)
+            )
+            self._lc_cache[self.current_step] = sample.rgb[2]
+            if (
+                self.current_step % self.keyframe_frequency == 0
+                and self.current_step < LC_MAX_STEP
+                and self.since_last_loop_closures > self.lc_distance_poses
+            ):
+                lc_ids, sims = self.loop_closure_detection.search(self.current_step)
+                for lc_id, sim in zip(lc_ids, sims):
+                    lc_image = self._lc_image(lc_id)
+                    if lc_image is None:
+                        continue
+                    T_lc, _ = predict_pose_step(
+                        self.model,
+                        self.state.params,
+                        self.state.batch_stats,
+                        jnp.asarray(sample.rgb[2][None]),
+                        jnp.asarray(lc_image[None]),
+                    )
+                    lc_transformation = np.asarray(T_lc[0], np.float64)
+                    cov = np.eye(6)
+                    cov[2, 2] = cov[5, 5] = 0.1
+                    self.pose_graph.add_edge(
+                        (self.current_step, lc_id),
+                        lc_transformation,
+                        information=0.5 * np.linalg.inv(cov),
+                        is_loop_closure=True,
+                    )
+                    if self.logging:
+                        print(
+                            f"loop closure {self.current_step} -> {lc_id} "
+                            f"[sim={sim:.3f}, "
+                            f"pred_dist={np.linalg.norm(lc_transformation[:3, 3]):.1f}m]"
+                        )
+                if lc_ids:
+                    self.pose_graph.optimize(max_iterations=25)
+                    optimized = True
+            if optimized:
+                self.since_last_loop_closures = 0
+            else:
+                self.since_last_loop_closures += 1
+
+        # --- metrics -----------------------------------------------------
+        if self.logging:
+            rel_err = np.linalg.inv(gt_transformation) @ transformation
+            self.rel_trans_error.append(translation_error(rel_err))
+            self.rel_rot_error.append(rotation_error(rel_err))
+            self.depth_loss.append(losses_out["depth_loss"])
+            self.velocity_loss.append(losses_out["velocity_loss"])
+            if sample.depth is not None:
+                pred_depth = np.asarray(outputs[("depth", 0)][0, ..., 0])
+                self.depth_error.append(
+                    calc_depth_error(
+                        pred_depth,
+                        sample.depth,
+                        min_depth=self.loss_cfg.min_depth,
+                        max_depth=self.loss_cfg.max_depth,
+                    )
+                )
+        self.step_times.append(time.perf_counter() - t_start)
+        return losses_out
+
+    def _lc_image(self, lc_id: int) -> Optional[np.ndarray]:
+        if lc_id in self._lc_cache:
+            return self._lc_cache[lc_id]
+        idx = lc_id - 1
+        if 0 <= idx < len(self.dataset):
+            return self.dataset[idx].rgb[2]
+        return None
+
+    # ------------------------------------------------------------------
+    def run(self, max_steps: Optional[int] = None, progress: bool = True):
+        n = len(self) if max_steps is None else min(max_steps, len(self))
+        for _ in range(n):
+            losses = self.step()
+            if progress and self.current_step % 25 == 0:
+                print(
+                    f"step {self.current_step}/{n} "
+                    f"loss={losses.get('loss', 0):.4f} "
+                    f"({1.0 / max(np.mean(self.step_times[-25:]), 1e-9):.1f} fps)"
+                )
+        return self
+
+    # ------------------------------------------------------------------
+    def trajectory(self, graph: Optional[PoseGraph] = None) -> np.ndarray:
+        g = graph if graph is not None else self.pose_graph
+        return np.stack([p[:3, 3] for p in g.get_all_poses()])
+
+    def save_metrics(self) -> Path:
+        data = {
+            "rel_trans_error": self.rel_trans_error,
+            "rel_rot_error": self.rel_rot_error,
+            "depth_loss": self.depth_loss,
+            "velocity_loss": self.velocity_loss,
+            "depth_error": self.depth_error,
+            "step_times": self.step_times,
+        }
+        path = self.log_path / "metrics.pkl"
+        with open(path, "wb") as f:
+            pickle.dump(data, f)
+        return path
+
+    def save_model(self) -> None:
+        from tpuslam.checkpoint.io import save_checkpoint
+
+        save_checkpoint(
+            self.log_path,
+            epoch=0,
+            params=self.state.params,
+            batch_stats=self.state.batch_stats,
+            meta={"step": int(self.state.step)},
+        )
+        if self.replay_buffer is not None and self.replay_buffer.storage_dir:
+            self.replay_buffer.save_state()
+
+    def final_report(self) -> str:
+        from tpuslam.eval.trajectory import calc_error
+
+        pred = self.pose_graph.get_all_poses()
+        gt = self.gt_pose_graph.get_all_poses()
+        n = min(len(pred), len(gt))
+        return calc_error(pred[:n], gt[:n])

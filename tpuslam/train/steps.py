@@ -121,19 +121,40 @@ def forward(
     T_next = transformation_from_parameters(aa_next, tr_next, invert=False)
 
     # --- multi-scale inverse warp (reference _reconstruct_images) --------
+    # All (scale, frame) warps fold into ONE batched projection + ONE patch
+    # gather: gathers are the dominant memory traffic of the step, and TPU
+    # gathers amortise much better at large batch.
     pix = pixel_grid(H, W)
     outputs: Dict[Any, jax.Array] = {}
+    S = len(cfg.scales)
+
+    def tile(x, n):
+        return jnp.tile(x, (n,) + (1,) * (x.ndim - 1))
+
+    depths = []
     for s in cfg.scales:
         disp = disps[("disp", s)]
         disp_up = resize_bilinear(disp, H, W)
         depth = disp_to_depth(disp_up, cfg.min_depth, cfg.max_depth)
         if s == 0:
             outputs[("depth", 0)] = depth
-        points = backproject_depth(depth, batch.inv_K, pix)
-        for f, T in ((-1, T_prev), (1, T_next)):
-            coords = project_3d(points, batch.K, T, H, W)
-            outputs[("rgb", f, s)] = bilinear_sampler(batch.frame(f), coords)
+        depths.append(depth)
         outputs[("disp", s)] = disp
+
+    depth_stack = jnp.concatenate(depths, axis=0)  # (S*B, H, W, 1)
+    points = backproject_depth(depth_stack, tile(batch.inv_K, S), pix)
+    T_stack = jnp.concatenate([tile(T_prev, S), tile(T_next, S)], axis=0)
+    coords = project_3d(
+        jnp.tile(points, (2, 1, 1)), tile(batch.K, 2 * S), T_stack, H, W
+    )  # (2*S*B, H, W, 2)
+    src = jnp.concatenate(
+        [tile(batch.frame(-1), S), tile(batch.frame(1), S)], axis=0
+    )
+    warped = bilinear_sampler(src, coords)
+    for fi, f in enumerate((-1, 1)):
+        for si, s in enumerate(cfg.scales):
+            start = (fi * S + si) * B
+            outputs[("rgb", f, s)] = warped[start : start + B]
 
     outputs[("cam_T_cam", 0, -1)] = T_prev
     outputs[("cam_T_cam", 0, 1)] = T_next

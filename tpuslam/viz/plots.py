@@ -1,0 +1,79 @@
+"""Trajectory / metric plots (reference slam/slam.py:318-391 equivalents)."""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_trajectory(slam, filename: Path) -> Path:
+    plt = _plt()
+    pred = slam.trajectory()
+    gt = slam.trajectory(slam.gt_pose_graph)
+    fig = plt.figure()
+    plt.plot(pred[:, 0], pred[:, 2], "--.", label="pred")
+    plt.plot(gt[:, 0], gt[:, 2], "--.", label="gt")
+    plt.axis("equal")
+    plt.legend()
+    plt.title(f"Step = {slam.current_step}")
+    plt.savefig(filename)
+    plt.close(fig)
+    np.save(Path(filename).with_suffix(".npy"), pred[:, [0, 2]])
+    np.save(Path(filename).parent / "gt_trajectory.npy", gt[:, [0, 2]])
+    return Path(filename)
+
+
+def plot_metrics(slam, filename: Path) -> Path:
+    plt = _plt()
+    has_depth = bool(slam.depth_error)
+    ncols = 4 if has_depth else 2
+    fig, axs = plt.subplots(nrows=2, ncols=ncols, figsize=(3 * ncols, 6))
+    panels = [
+        (axs[0, 0], slam.depth_loss, "Depth loss"),
+        (axs[1, 0], slam.velocity_loss, "Velocity loss"),
+        (axs[0, 1], slam.rel_trans_error, "Relative trans. error"),
+        (axs[1, 1], slam.rel_rot_error, "Relative rot. error"),
+    ]
+    if has_depth:
+        panels += [
+            (axs[0, 2], [d["abs_rel"] for d in slam.depth_error], "Abs rel"),
+            (axs[1, 2], [d["sq_rel"] for d in slam.depth_error], "Sq rel"),
+            (axs[0, 3], [d["rmse"] for d in slam.depth_error], "RMSE"),
+            (axs[1, 3], [d["a1"] for d in slam.depth_error], "A1"),
+        ]
+    for ax, series, title in panels:
+        ax.plot(series)
+        ax.set_xlabel("Step")
+        ax.set_title(title)
+        if series:
+            ax.set_ylim(bottom=0)
+    fig.tight_layout()
+    plt.savefig(filename, bbox_inches="tight")
+    plt.close(fig)
+    return Path(filename)
+
+
+def save_depth_panel(image: np.ndarray, depth: np.ndarray, filename: Path) -> Path:
+    """Side-by-side RGB + colored depth (reference save_prediction analog)."""
+    plt = _plt()
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(8, 5))
+    ax1.imshow(image)
+    ax1.axis("off")
+    ax1.set_title("input")
+    vmax = np.percentile(depth, 95)
+    ax2.imshow(depth, cmap="magma_r", vmax=vmax)
+    ax2.axis("off")
+    ax2.set_title(f"depth (vmax={vmax:.1f}m)")
+    fig.tight_layout()
+    plt.savefig(filename, bbox_inches="tight")
+    plt.close(fig)
+    return Path(filename)
