@@ -1,0 +1,41 @@
+"""Pretraining loop on the synthetic dataset (hermetic)."""
+import numpy as np
+import pytest
+
+from tpuslam.data import SyntheticDataset
+from tpuslam.train.pretrain import Pretrainer, batches_from
+
+H, W = 32, 64
+
+
+@pytest.mark.slow
+def test_pretrainer_epoch_and_checkpoint(tmp_path):
+    ds = SyntheticDataset(num_frames=8, height=H, width=W, do_augmentation=True)
+    trainer = Pretrainer(
+        height=H, width=W, scales=(0, 1), batch_size=4,
+        log_path=tmp_path, scheduler_step_size=1,
+    )
+    loss1 = trainer.train_epoch(ds, progress=False)
+    assert np.isfinite(loss1)
+    # StepLR: epoch 2 lr = 0.1 * base
+    lr_before = float(trainer.state.opt_state.hyperparams["learning_rate"])
+    trainer.train_epoch(ds, progress=False)
+    lr_after = float(trainer.state.opt_state.hyperparams["learning_rate"])
+    assert lr_after == pytest.approx(lr_before * 0.1, rel=1e-5)
+
+    val = trainer.validate(ds, max_batches=1)
+    assert np.isfinite(val)
+    err = trainer.compute_depth_error(ds, max_samples=2)
+    assert "abs_rel" in err and np.isfinite(err["abs_rel"])
+
+    folder = trainer.save()
+    assert (folder / "params.msgpack").exists()
+    assert (folder / "opt_state.msgpack").exists()
+
+
+def test_batches_from_shapes():
+    ds = SyntheticDataset(num_frames=7, height=H, width=W)
+    rng = np.random.default_rng(0)
+    batches = list(batches_from(ds, 3, rng))
+    assert len(batches) == 2  # 7 samples, drop_last
+    assert batches[0].rgb.shape == (3, 3, H, W, 3)

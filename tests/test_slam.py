@@ -96,3 +96,48 @@ def test_slam_loop_closure_on_loop_trajectory(tmp_path):
     # embeddings of revisited poses should have matched at least once
     assert slam.pose_graph.num_loop_closures >= 1
     assert len(slam.loop_closure_detection) == 30
+
+
+@pytest.mark.slow
+def test_slam_dual_network_expert_generalist(tmp_path):
+    """Dual-network mode: expert adapts every frame; generalist consolidates
+    on replay every `generalist_interval` frames and stays distinct."""
+    cfg = _config(tmp_path, use_expert=True, generalist_interval=2)
+    slam = Slam(cfg)
+    assert slam.generalist_state is not None
+    gen_before = np.asarray(
+        slam.generalist_state.params["depth_decoder"]["dispconv_0_conv"]["kernel"]
+    ).copy()
+    for _ in range(4):
+        slam.step()
+    gen_after = np.asarray(
+        slam.generalist_state.params["depth_decoder"]["dispconv_0_conv"]["kernel"]
+    )
+    exp_after = np.asarray(
+        slam.state.params["depth_decoder"]["dispconv_0_conv"]["kernel"]
+    )
+    assert not np.allclose(gen_before, gen_after), "generalist must consolidate"
+    assert not np.allclose(gen_after, exp_after), "expert and generalist diverge"
+    # expert reset from generalist
+    slam.reset_expert_from_generalist()
+    np.testing.assert_array_equal(
+        np.asarray(slam.state.params["depth_decoder"]["dispconv_0_conv"]["kernel"]),
+        gen_after,
+    )
+
+
+@pytest.mark.slow
+def test_slam_async_covio_mode(tmp_path):
+    """CoVIO async mode: poses come from the previous update's weights; the
+    update itself still happens (params change step to step)."""
+    cfg = _config(tmp_path, async_adaptation=True)
+    slam = Slam(cfg)
+    p0 = np.asarray(
+        slam.state.params["depth_decoder"]["dispconv_0_conv"]["kernel"]
+    ).copy()
+    losses = slam.step()
+    assert np.isfinite(losses["loss"])
+    p1 = np.asarray(slam.state.params["depth_decoder"]["dispconv_0_conv"]["kernel"])
+    assert not np.allclose(p0, p1), "async update must still adapt weights"
+    slam.step()
+    assert len(slam.pose_graph.vertex_ids) == 3

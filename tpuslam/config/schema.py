@@ -91,8 +91,16 @@ class SlamConfig:
     do_loop_closures: bool = True
     keyframe_frequency: int = 5
     lc_distance_poses: int = 150
-    # dual-network expert/generalist mode (BASELINE config rung 3)
+    # dual-network expert/generalist mode (BASELINE config rung 3): the
+    # expert adapts every frame; the generalist consolidates on replay-only
+    # batches every `generalist_interval` frames
     use_expert: bool = False
+    generalist_interval: int = 5
+    generalist_steps: int = 1
+    # CoVIO async mode (rung 5): decouple inference from adaptation — the
+    # pose for frame t comes from the newest COMPLETED adapted parameters
+    # instead of blocking on frame t's update
+    async_adaptation: bool = False
     config_file: Optional[Path] = None
 
 

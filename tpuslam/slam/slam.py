@@ -46,6 +46,7 @@ from tpuslam.train import (
     LossConfig,
     adapt_step,
     concat_batches,
+    consolidate_step,
     eval_step,
     make_adapt_optimizer,
     make_frame_batch,
@@ -123,6 +124,21 @@ class Slam:
             print(f"slam: loaded weights from {pc.load_weights_folder}")
         self.tx = make_adapt_optimizer(params, pc.learning_rate)
         self.state = make_train_state(params, batch_stats, self.tx)
+        # Dual-network mode (CL-SLAM expert/generalist, BASELINE rung 3):
+        # `state` acts as the fast EXPERT; `generalist_state` consolidates on
+        # replay-only batches every `generalist_interval` frames.  Mirrors
+        # the reference's models/online_models split
+        # (depth_pose_prediction.py:139-152) — its shipped loop trains a
+        # single network (use_online=False), which is our default too.
+        self.use_expert = sc.use_expert
+        self.generalist_interval = sc.generalist_interval
+        self.generalist_steps = sc.generalist_steps
+        if self.use_expert:
+            self.generalist_state = make_train_state(params, batch_stats, self.tx)
+        else:
+            self.generalist_state = None
+        self.async_adaptation = sc.async_adaptation
+        self._pending = None  # in-flight (state, losses, outputs) for async mode
         self.loss_cfg = LossConfig(
             scales=tuple(pc.scales),
             min_depth=pc.min_depth,
@@ -248,7 +264,21 @@ class Slam:
             return {"depth_loss": 0.0, "velocity_loss": 0.0}
 
         # --- the fused dispatch -----------------------------------------
-        if self.do_adaptation:
+        if self.do_adaptation and self.async_adaptation:
+            # CoVIO mode (reference README.md:171-172 async variant): the
+            # pose/depth for frame t come from the newest completed weights;
+            # the weight update runs as an overlapped device computation
+            # while the host does graph/buffer/loop-closure work.
+            losses, outputs = eval_step(
+                self.model, self.loss_cfg, self.state.params,
+                self.state.batch_stats, online,
+            )
+            training = self._training_batch(online, sample)
+            self.state, _ = consolidate_step(
+                self.model, self.tx, self.loss_cfg, self.state, training,
+                num_steps=self.adaptation_epochs,
+            )
+        elif self.do_adaptation:
             training = self._training_batch(online, sample)
             self.state, losses, outputs = adapt_step(
                 self.model,
@@ -264,6 +294,27 @@ class Slam:
                 self.model, self.loss_cfg, self.state.params,
                 self.state.batch_stats, online,
             )
+
+        # --- generalist consolidation (dual-network mode) -----------------
+        if (
+            self.use_expert
+            and self.replay_buffer is not None
+            and len(self.replay_buffer) > 0
+            and self.current_step % self.generalist_interval == 0
+        ):
+            draws = self.replay_buffer.get(current_index=None)
+            if draws:
+                replay = make_frame_batch(
+                    np.stack([d.rgb for d in draws]),
+                    np.stack([d.K for d in draws]),
+                    np.stack([d.rel_dist for d in draws]),
+                    rgb_aug=np.stack([d.aug for d in draws]),
+                )
+                replay = pad_batch(replay, self.batch_size)
+                self.generalist_state, _ = consolidate_step(
+                    self.model, self.tx, self.loss_cfg, self.generalist_state,
+                    replay, num_steps=self.generalist_steps,
+                )
 
         embedding = np.asarray(outputs[("embedding",)])[0]
         if self.replay_buffer is not None:
@@ -370,6 +421,17 @@ class Slam:
                 )
         self.step_times.append(time.perf_counter() - t_start)
         return losses_out
+
+    def reset_expert_from_generalist(self) -> None:
+        """Reinitialise the expert from the consolidated generalist weights —
+        the CL-SLAM deployment move when entering a (re)visited environment."""
+        if self.generalist_state is None:
+            raise RuntimeError("dual-network mode is not enabled (use_expert)")
+        self.state = make_train_state(
+            self.generalist_state.params,
+            self.generalist_state.batch_stats,
+            self.tx,
+        )
 
     def _lc_image(self, lc_id: int) -> Optional[np.ndarray]:
         if lc_id in self._lc_cache:

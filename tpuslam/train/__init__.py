@@ -10,6 +10,7 @@ from tpuslam.train.state import (
 from tpuslam.train.steps import (
     LossConfig,
     adapt_step,
+    consolidate_step,
     eval_step,
     forward,
     predict_depth_step,
@@ -23,6 +24,7 @@ __all__ = [
     "TrainState",
     "adapt_step",
     "concat_batches",
+    "consolidate_step",
     "eval_step",
     "forward",
     "make_adapt_optimizer",

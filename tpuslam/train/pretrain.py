@@ -1,0 +1,219 @@
+"""Offline pretraining loop (the reference `DepthPosePrediction.train`).
+
+Reference behaviour (/root/reference/depth_pose_prediction/depth_pose_prediction.py:219-289):
+epochs over a shuffled training set, per-batch fwd/bwd/Adam, StepLR x0.1 every
+`scheduler_step_size` epochs, periodic checkpoints, validation loss and depth
+error after each epoch.
+
+TPU-native structure: the step is the fused `train_step` (or the shard_map DP
+step over a device mesh when `dp_devices > 1`); host batching assembles
+`FrameBatch`es from any Sample-yielding dataset with a background prefetcher.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from tpuslam.checkpoint.io import save_checkpoint
+from tpuslam.data.base import Prefetcher, Sample
+from tpuslam.models import init_depth_pose
+from tpuslam.train.batch import FrameBatch, make_frame_batch
+from tpuslam.train.state import (
+    TrainState,
+    make_pretrain_optimizer,
+    make_train_state,
+    set_learning_rate,
+    steplr,
+)
+from tpuslam.train.steps import LossConfig, eval_step, train_step
+
+
+def batches_from(
+    dataset,
+    batch_size: int,
+    rng: np.random.Generator,
+    shuffle: bool = True,
+    drop_last: bool = True,
+) -> Iterable[FrameBatch]:
+    """Assemble FrameBatches from a Sample dataset (host side)."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    for start in range(0, len(order), batch_size):
+        idx = order[start : start + batch_size]
+        if len(idx) < batch_size and drop_last:
+            return
+        samples: List[Sample] = [dataset[int(i)] for i in idx]
+        yield make_frame_batch(
+            np.stack([s.rgb for s in samples]),
+            np.stack([s.K for s in samples]),
+            np.stack([s.rel_dist for s in samples]),
+            rgb_aug=np.stack([s.aug for s in samples]),
+        )
+
+
+class Pretrainer:
+    def __init__(
+        self,
+        *,
+        height: int,
+        width: int,
+        scales=(0, 1, 2, 3),
+        resnet_depth: int = 18,
+        resnet_pose: int = 18,
+        learning_rate: float = 1e-4,
+        scheduler_step_size: int = 15,
+        batch_size: int = 18,
+        min_depth: float = 0.1,
+        max_depth: Optional[float] = None,
+        disparity_smoothness: float = 1e-3,
+        velocity_loss_scaling: Optional[float] = 0.05,
+        log_path: Path = Path("./log/pretrain"),
+        dp_devices: int = 1,
+        seed: int = 42,
+    ):
+        self.height, self.width = height, width
+        self.batch_size = batch_size
+        self.log_path = Path(log_path)
+        self.lr_schedule = steplr(learning_rate, scheduler_step_size)
+        self.epoch = 0
+        self.rng = np.random.default_rng(seed)
+
+        self.model, variables = init_depth_pose(
+            jax.random.PRNGKey(seed),
+            height=height,
+            width=width,
+            resnet_depth=resnet_depth,
+            resnet_pose=resnet_pose,
+            scales=tuple(scales),
+        )
+        self.cfg = LossConfig(
+            scales=tuple(scales),
+            min_depth=min_depth,
+            max_depth=max_depth,
+            disparity_smoothness=disparity_smoothness,
+            velocity_loss_scaling=velocity_loss_scaling,
+        )
+        self.tx = make_pretrain_optimizer(learning_rate)
+        self.state = make_train_state(
+            variables["params"], variables["batch_stats"], self.tx,
+            rng=jax.random.PRNGKey(seed),
+        )
+
+        self.dp_devices = dp_devices
+        if dp_devices > 1:
+            from tpuslam.parallel import make_dp_train_step, make_mesh, shard_batch
+
+            self.mesh = make_mesh(dp_devices)
+            self._dp_step = make_dp_train_step(self.model, self.tx, self.cfg, self.mesh)
+            self._shard = lambda b: shard_batch(b, self.mesh)
+        else:
+            self.mesh = None
+
+    def _step(self, batch: FrameBatch):
+        if self.mesh is not None:
+            return self._dp_step(self.state, self._shard(batch))
+        return train_step(self.model, self.tx, self.cfg, self.state, batch)
+
+    def train_epoch(self, dataset, progress: bool = True) -> float:
+        self.epoch += 1
+        self.state = self.state.replace(
+            opt_state=set_learning_rate(
+                self.state.opt_state, self.lr_schedule(self.epoch)
+            )
+        )
+        losses = []
+        it = Prefetcher(batches_from(dataset, self.batch_size, self.rng))
+        for i, batch in enumerate(it):
+            self.state, step_losses = self._step(batch)
+            if (i + 1) % 25 == 0:
+                loss = float(step_losses["loss"])  # sync point
+                losses.append(loss)
+                if progress:
+                    print(f"epoch {self.epoch} step {i + 1}: loss={loss:.4f}")
+        if not losses:
+            losses.append(float(step_losses["loss"]))
+        return float(np.mean(losses))
+
+    def validate(self, dataset, max_batches: Optional[int] = None) -> float:
+        losses = []
+        it = batches_from(dataset, self.batch_size, self.rng, shuffle=False)
+        for i, batch in enumerate(it):
+            if max_batches is not None and i >= max_batches:
+                break
+            step_losses, _ = eval_step(
+                self.model, self.cfg, self.state.params, self.state.batch_stats, batch
+            )
+            losses.append(float(step_losses["loss"]))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def compute_depth_error(self, dataset, max_samples: int = 50) -> Dict[str, float]:
+        """Median-scaled depth metrics over GT-depth samples."""
+        from tpuslam.eval.depth import calc_depth_error
+        from tpuslam.train.steps import predict_depth_step
+
+        metrics: List[Dict[str, float]] = []
+        for i in range(min(len(dataset), max_samples)):
+            s = dataset[i]
+            if s.depth is None:
+                continue
+            depth, _ = predict_depth_step(
+                self.model,
+                self.state.params,
+                self.state.batch_stats,
+                jax.numpy.asarray(s.rgb[1][None]),
+                min_depth=self.cfg.min_depth,
+                max_depth=self.cfg.max_depth,
+            )
+            metrics.append(
+                calc_depth_error(
+                    np.asarray(depth[0, ..., 0]),
+                    s.depth,
+                    min_depth=self.cfg.min_depth,
+                    max_depth=self.cfg.max_depth,
+                )
+            )
+        if not metrics:
+            return {}
+        return {k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]}
+
+    def save(self, config_yaml: Optional[str] = None) -> Path:
+        return save_checkpoint(
+            self.log_path,
+            epoch=self.epoch,
+            params=self.state.params,
+            batch_stats=self.state.batch_stats,
+            opt_state=self.state.opt_state,
+            meta={"step": int(self.state.step)},
+            config_yaml=config_yaml,
+        )
+
+    def fit(
+        self,
+        train_dataset,
+        val_dataset=None,
+        num_epochs: int = 25,
+        save_frequency: int = -1,
+        validate: bool = True,
+        depth_error: bool = False,
+        log_fn: Optional[Callable[[Dict], None]] = None,
+    ):
+        for _ in range(num_epochs):
+            train_loss = self.train_epoch(train_dataset)
+            record = {"epoch": self.epoch, "training_loss": train_loss}
+            if validate and val_dataset is not None:
+                record["validation_loss"] = self.validate(val_dataset, max_batches=20)
+            if depth_error and val_dataset is not None:
+                record.update(self.compute_depth_error(val_dataset))
+            if save_frequency > 0 and self.epoch % save_frequency == 0:
+                self.save()
+            print(" ".join(f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                           for k, v in record.items()))
+            if log_fn is not None:
+                log_fn(record)
+        if save_frequency > -1:
+            self.save()
+        return self

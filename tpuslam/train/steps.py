@@ -252,6 +252,51 @@ def adapt_step(
 
 @partial(
     jax.jit,
+    static_argnames=("model", "tx", "cfg", "num_steps", "freeze_encoder"),
+    donate_argnames=("state",),
+)
+def consolidate_step(
+    model: DepthPoseNet,
+    tx: optax.GradientTransformation,
+    cfg: LossConfig,
+    state: TrainState,
+    training: FrameBatch,
+    num_steps: int,
+    freeze_encoder: bool = True,
+):
+    """Update-only fused step (no eval outputs) — the generalist's replay
+    consolidation in dual-network mode and CoVIO's background update."""
+
+    def loss_fn(params, rng):
+        p = _frozen_encoder_params(params) if freeze_encoder else params
+        losses, _, _ = forward(
+            model, p, state.batch_stats, training, cfg, train_bn=False, rng=rng
+        )
+        return losses["loss"]
+
+    def one_iter(carry, _):
+        params, opt_state, rng = carry
+        rng, noise_rng = jax.random.split(rng)
+        loss, grads = jax.value_and_grad(loss_fn)(params, noise_rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rng), loss
+
+    (params, opt_state, rng), iter_losses = jax.lax.scan(
+        one_iter, (state.params, state.opt_state, state.rng), None, length=num_steps
+    )
+    new_state = TrainState(
+        params=params,
+        batch_stats=state.batch_stats,
+        opt_state=opt_state,
+        rng=rng,
+        step=state.step + 1,
+    )
+    return new_state, iter_losses
+
+
+@partial(
+    jax.jit,
     static_argnames=("model", "cfg"),
 )
 def eval_step(
