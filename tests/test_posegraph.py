@@ -125,3 +125,51 @@ def test_meshlab_export(tmp_path, rng):
     g.visualize_in_meshlab(out, verbose=False)
     text = out.read_text()
     assert text.count("\nv ") >= 3 and "\nl " in text
+
+
+def test_native_solver_matches_jax(rng):
+    """The C++ solver must reach (at least) the same error as the JAX LM."""
+    from tpuslam.posegraph import native
+
+    if not native.is_available():
+        pytest.skip("g++ unavailable")
+    gt = _chain_poses(30, rng)
+    g_native, _ = _build_graph(gt, rng, odo_noise=0.08, loops=[(0, 29)])
+    # identical second graph for the jax backend
+    rng2 = np.random.default_rng(42)
+    gt2 = _chain_poses(30, rng2)
+    g_jax, _ = _build_graph(gt2, rng2, odo_noise=0.08, loops=[(0, 29)])
+
+    err_native = g_native.optimize(max_iterations=25, backend="native")
+    err_jax = g_jax.optimize(max_iterations=25, backend="jax")
+    assert err_native <= err_jax * 1.5 + 1e-6
+    # both solutions close in ATE terms
+    a = [g_native.get_pose(i) for i in g_native.vertex_ids]
+    b = [g_jax.get_pose(i) for i in g_jax.vertex_ids]
+    assert _ate(a, b) < 0.15
+
+
+def test_native_solver_fixed_vertex(rng):
+    from tpuslam.posegraph import native
+
+    if not native.is_available():
+        pytest.skip("g++ unavailable")
+    gt = _chain_poses(12, rng)
+    g, _ = _build_graph(gt, rng, odo_noise=0.1, loops=[(0, 11)])
+    first = g.get_pose(0)
+    g.optimize(max_iterations=10, backend="native")
+    np.testing.assert_array_equal(g.get_pose(0), first)
+
+
+def test_native_noise_free_fixed_point(rng):
+    from tpuslam.posegraph import native
+
+    if not native.is_available():
+        pytest.skip("g++ unavailable")
+    gt = _chain_poses(10, rng)
+    g, _ = _build_graph(gt, rng, odo_noise=0.0)
+    before = [g.get_pose(i) for i in g.vertex_ids]
+    err = g.optimize(max_iterations=5, backend="native")
+    after = [g.get_pose(i) for i in g.vertex_ids]
+    assert err < 1e-6
+    assert _ate(before, after) < 1e-4

@@ -123,23 +123,56 @@ class PoseGraph:
         )
         return g, ids
 
-    def optimize(self, max_iterations: int = 20, verbose: bool = False) -> float:
-        """Run the JAX LM solver and write the optimised poses back.
+    def optimize(
+        self,
+        max_iterations: int = 20,
+        verbose: bool = False,
+        backend: str = "jax",
+    ) -> float:
+        """Optimise the graph in place and return the final weighted error.
 
+        backend: 'jax' (the LM solver in tpuslam.posegraph.lm), 'native' (the
+        C++ banded-Cholesky/Woodbury solver in native/posegraph.cc), or
+        'auto' (native when the shared library builds, else jax).
         `max_iterations` counts LM iterations (the reference passes 10000 to
-        g2o, which terminates early on convergence; LM with accept/reject
-        plateaus in far fewer — capped for bounded compile/runtime)."""
+        g2o, which terminates early; accept/reject LM plateaus in far fewer —
+        capped for bounded compile/runtime)."""
         if not self._edges:
             return 0.0
         max_iterations = min(max_iterations, 50)
-        g, ids = self.to_arrays()
-        poses, err = lm_optimize(g, max_iterations=max_iterations)
-        poses = np.asarray(poses, np.float64)
+
+        if backend == "auto":
+            from tpuslam.posegraph import native
+
+            backend = "native" if native.is_available() else "jax"
+
+        if backend == "native":
+            from tpuslam.posegraph import native
+
+            ids = self.vertex_ids
+            id_to_idx = {v: k for k, v in enumerate(ids)}
+            fixed = np.array([self._fixed[i] for i in ids], bool)
+            if not fixed.any():
+                fixed[0] = True
+            poses, err = native.optimize_native(
+                np.stack([self._poses[i] for i in ids]),
+                fixed,
+                np.array([[id_to_idx[i], id_to_idx[j]] for i, j in self._edges]),
+                np.stack(self._measurements),
+                np.stack(self._information),
+                max_iterations=max_iterations,
+            )
+        else:
+            g, ids = self.to_arrays()
+            out, err = lm_optimize(g, max_iterations=max_iterations)
+            poses = np.asarray(out, np.float64)
+            err = float(err)
+
         for k, vid in enumerate(ids):
             if not self._fixed[vid]:
                 self._poses[vid] = poses[k]
         if verbose:
-            print(f"pose graph optimised: error={float(err):.6f}")
+            print(f"pose graph optimised [{backend}]: error={err:.6f}")
         return float(err)
 
     # -------------------------------------------------------------- export

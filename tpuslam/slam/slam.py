@@ -395,7 +395,9 @@ class Slam:
                             f"pred_dist={np.linalg.norm(lc_transformation[:3, 3]):.1f}m]"
                         )
                 if lc_ids:
-                    self.pose_graph.optimize(max_iterations=25)
+                    # native C++ solver when buildable (no jit recompiles as
+                    # the graph grows); the JAX LM otherwise
+                    self.pose_graph.optimize(max_iterations=25, backend="auto")
                     optimized = True
             if optimized:
                 self.since_last_loop_closures = 0
