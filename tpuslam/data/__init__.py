@@ -10,16 +10,21 @@ from tpuslam.data.base import (
     random_color_jitter,
     scale_intrinsics,
 )
+from tpuslam.data.cityscapes import Cityscapes
 from tpuslam.data.kitti import KITTI_RAW_SEQ_MAPPING, KittiOdometry
+from tpuslam.data.robotcar import RobotCar, undistort_robotcar
 from tpuslam.data.synthetic import SyntheticDataset, make_trajectory
 
 __all__ = [
     "KITTI_NORMALIZED_K",
+    "Cityscapes",
     "KITTI_RAW_SEQ_MAPPING",
     "KittiOdometry",
+    "RobotCar",
     "Prefetcher",
     "Sample",
     "SyntheticDataset",
+    "undistort_robotcar",
     "adjust_brightness",
     "adjust_contrast",
     "adjust_hue",

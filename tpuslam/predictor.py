@@ -1,0 +1,340 @@
+"""DepthPosePrediction facade — API parity with the reference L2 interface.
+
+Mirrors the public surface of the reference class
+(/root/reference/depth_pose_prediction/depth_pose_prediction.py: train /
+adapt / validate / predict / predict_pose / predict_from_image(s) /
+save_model / load_model / load_online_model / compute_depth_error /
+compute_pose_error) on top of the fused JAX steps.  The "online" model pair
+(expert) mirrors the reference's use_online machinery (:139-152, 650-655).
+
+All images are NHWC float32 in [0, 1]; single images may omit the batch dim.
+"""
+from __future__ import annotations
+
+import warnings
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.checkpoint.io import latest_checkpoint, load_checkpoint, save_checkpoint
+from tpuslam.config.schema import DatasetConfig, DepthPoseConfig
+from tpuslam.data.base import Sample
+from tpuslam.eval.depth import calc_depth_error
+from tpuslam.eval.trajectory import rotation_error, translation_error
+from tpuslam.geometry.depth import disp_to_depth
+from tpuslam.models import init_depth_pose
+from tpuslam.train.batch import FrameBatch, concat_batches, make_frame_batch, pad_batch
+from tpuslam.train.pretrain import Pretrainer
+from tpuslam.train.state import make_adapt_optimizer, make_train_state
+from tpuslam.train.steps import (
+    LossConfig,
+    adapt_step,
+    eval_step,
+    predict_depth_step,
+    predict_pose_step,
+)
+
+
+def _batchify(image) -> jax.Array:
+    image = jnp.asarray(image)
+    return image[None] if image.ndim == 3 else image
+
+
+class DepthPosePrediction:
+    def __init__(
+        self,
+        dataset_config: DatasetConfig,
+        config: DepthPoseConfig,
+        use_online: bool = False,
+    ):
+        self.dataset_config = dataset_config
+        self.config = config
+        self.height = dataset_config.height
+        self.width = dataset_config.width
+        self.min_depth = config.min_depth
+        self.max_depth = config.max_depth
+        self.batch_size = config.batch_size
+        self.load_weights_folder = config.load_weights_folder
+        self.log_path = Path(config.log_path)
+        self.is_trained = False
+        self.epoch = 0
+
+        self.model, variables = init_depth_pose(
+            jax.random.PRNGKey(0),
+            height=self.height,
+            width=self.width,
+            resnet_depth=config.resnet_depth,
+            resnet_pose=config.resnet_pose,
+            scales=tuple(config.scales),
+        )
+        self.loss_cfg = LossConfig(
+            scales=tuple(config.scales),
+            min_depth=config.min_depth,
+            max_depth=config.max_depth,
+            disparity_smoothness=config.disparity_smoothness,
+            velocity_loss_scaling=config.velocity_loss_scaling,
+        )
+        self.tx = make_adapt_optimizer(variables["params"], config.learning_rate)
+        self.state = make_train_state(
+            variables["params"], variables["batch_stats"], self.tx
+        )
+        self.use_online = use_online
+        self.online_state = (
+            make_train_state(variables["params"], variables["batch_stats"], self.tx)
+            if use_online
+            else None
+        )
+        self._trainer: Optional[Pretrainer] = None
+
+    # ------------------------------------------------------------ training
+    def train(
+        self,
+        train_dataset,
+        val_dataset=None,
+        validate: bool = False,
+        depth_error: bool = False,
+        use_wandb: bool = False,
+        num_epochs: Optional[int] = None,
+    ) -> None:
+        """Offline pretraining (reference train(), :219-289)."""
+        c = self.config
+        trainer = Pretrainer(
+            height=self.height,
+            width=self.width,
+            scales=c.scales,
+            resnet_depth=c.resnet_depth,
+            resnet_pose=c.resnet_pose,
+            learning_rate=c.learning_rate,
+            scheduler_step_size=c.scheduler_step_size,
+            batch_size=c.batch_size,
+            min_depth=c.min_depth,
+            max_depth=c.max_depth,
+            disparity_smoothness=c.disparity_smoothness,
+            velocity_loss_scaling=c.velocity_loss_scaling,
+            log_path=c.log_path,
+            dp_devices=c.dp_devices,
+        )
+        trainer.state = self.state
+        log_fn = None
+        if use_wandb:
+            from tpuslam.utils.profiling import MetricsLogger
+
+            logger = MetricsLogger(self.log_path / "metrics.jsonl", use_wandb=True)
+            log_fn = logger.log
+        trainer.fit(
+            train_dataset,
+            val_dataset,
+            num_epochs=num_epochs if num_epochs is not None else c.num_epochs,
+            save_frequency=c.save_frequency,
+            validate=validate,
+            depth_error=depth_error,
+            log_fn=log_fn,
+        )
+        self.state = trainer.state
+        self.epoch = trainer.epoch
+        self.is_trained = True
+
+    def adapt(
+        self,
+        online_batch: FrameBatch,
+        training_batch: Optional[FrameBatch] = None,
+        steps: int = 1,
+        use_online: bool = False,
+    ):
+        """Online adaptation (reference adapt(), :291-319): K fused update
+        iterations when training data is given, otherwise a no-grad eval."""
+        state = self.online_state if (use_online and self.online_state) else self.state
+        if training_batch is not None:
+            training_batch = pad_batch(training_batch, self.batch_size)
+            state, losses, outputs = adapt_step(
+                self.model, self.tx, self.loss_cfg, state,
+                online_batch, training_batch, num_steps=steps,
+            )
+            if use_online and self.online_state is not None:
+                self.online_state = state
+            else:
+                self.state = state
+        else:
+            losses, outputs = eval_step(
+                self.model, self.loss_cfg, state.params, state.batch_stats,
+                online_batch,
+            )
+        return outputs, losses
+
+    def validate(self, dataset, max_batches: Optional[int] = None) -> float:
+        if not self.is_trained:
+            warnings.warn("The model has not been trained yet.", RuntimeWarning)
+        from tpuslam.train.pretrain import batches_from
+
+        losses = []
+        rng = np.random.default_rng(0)
+        for i, batch in enumerate(batches_from(dataset, self.batch_size, rng, shuffle=False)):
+            if max_batches is not None and i >= max_batches:
+                break
+            step_losses, _ = eval_step(
+                self.model, self.loss_cfg, self.state.params,
+                self.state.batch_stats, batch,
+            )
+            losses.append(float(step_losses["loss"]))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    # ---------------------------------------------------------- prediction
+    def predict(self, batch: FrameBatch):
+        """Full no-grad forward on a batch (reference predict(), :530-536)."""
+        if not self.is_trained:
+            warnings.warn("The model has not been trained yet.", RuntimeWarning)
+        losses, outputs = eval_step(
+            self.model, self.loss_cfg, self.state.params, self.state.batch_stats, batch
+        )
+        return outputs
+
+    def predict_from_image(self, image, as_numpy: bool = True):
+        """Single image -> depth map (reference :538-554)."""
+        if not self.is_trained:
+            warnings.warn("The model has not been trained yet.", RuntimeWarning)
+        depth, _ = predict_depth_step(
+            self.model, self.state.params, self.state.batch_stats,
+            _batchify(image), min_depth=self.min_depth, max_depth=self.max_depth,
+        )
+        return np.asarray(depth[0, ..., 0]) if as_numpy else depth
+
+    def predict_from_images(self, image_0, image_1, as_numpy: bool = True):
+        """Two images -> (depth_0, depth_1, relative pose) (reference :556-626)."""
+        if not self.is_trained:
+            warnings.warn("The model has not been trained yet.", RuntimeWarning)
+        i0, i1 = _batchify(image_0), _batchify(image_1)
+        d0, _ = predict_depth_step(
+            self.model, self.state.params, self.state.batch_stats, i0,
+            min_depth=self.min_depth, max_depth=self.max_depth,
+        )
+        d1, _ = predict_depth_step(
+            self.model, self.state.params, self.state.batch_stats, i1,
+            min_depth=self.min_depth, max_depth=self.max_depth,
+        )
+        T, _ = predict_pose_step(
+            self.model, self.state.params, self.state.batch_stats, i0, i1
+        )
+        if as_numpy:
+            return (
+                np.asarray(d0[0, ..., 0]),
+                np.asarray(d1[0, ..., 0]),
+                np.asarray(T[0]),
+            )
+        return d0, d1, T
+
+    def predict_pose(self, image_0, image_1, as_numpy: bool = True, use_online: bool = False):
+        """Relative pose + placeholder covariance (reference :628-664)."""
+        if not self.is_trained:
+            warnings.warn("The model has not been trained yet.", RuntimeWarning)
+        state = self.online_state if (use_online and self.online_state) else self.state
+        T, cov = predict_pose_step(
+            self.model, state.params, state.batch_stats,
+            _batchify(image_0), _batchify(image_1),
+        )
+        if as_numpy:
+            return np.asarray(T[0]), np.asarray(cov)
+        return T, cov
+
+    # ------------------------------------------------------------- metrics
+    def compute_depth_error(
+        self, dataset, median_scaling: bool = True, max_samples: int = 100,
+        print_results: bool = True,
+    ) -> Dict[str, float]:
+        metrics = []
+        for i in range(min(len(dataset), max_samples)):
+            s: Sample = dataset[i]
+            if s.depth is None:
+                continue
+            pred = self.predict_from_image(s.rgb[1])
+            metrics.append(
+                calc_depth_error(
+                    pred, s.depth, median_scaling=median_scaling,
+                    min_depth=self.min_depth, max_depth=self.max_depth,
+                )
+            )
+        if not metrics:
+            return {}
+        out = {k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]}
+        if print_results:
+            print(" ".join(f"{k}={v:.4f}" for k, v in out.items()))
+        return out
+
+    def compute_pose_error(
+        self, dataset, max_samples: int = 100, print_results: bool = True
+    ) -> Dict[str, float]:
+        """Mean frame-to-frame pose error vs GT (reference :470-525)."""
+        terrs, rerrs = [], []
+        for i in range(min(len(dataset), max_samples)):
+            s: Sample = dataset[i]
+            if s.rel_pose is None:
+                continue
+            T, _ = self.predict_pose(s.rgb[1], s.rgb[2])
+            err = np.linalg.inv(s.rel_pose) @ np.linalg.inv(T)
+            terrs.append(translation_error(err))
+            rerrs.append(rotation_error(err))
+        out = {
+            "trans_error": float(np.mean(terrs)) if terrs else float("nan"),
+            "rot_error": float(np.mean(rerrs)) if rerrs else float("nan"),
+        }
+        if print_results:
+            print(f"pose error: {out}")
+        return out
+
+    # --------------------------------------------------------- persistence
+    def save_model(self) -> Path:
+        return save_checkpoint(
+            self.log_path,
+            epoch=self.epoch,
+            params=self.state.params,
+            batch_stats=self.state.batch_stats,
+            opt_state=self.state.opt_state,
+        )
+
+    def load_model(self, load_optimizer: bool = True, folder: Optional[Path] = None):
+        folder = folder or self.load_weights_folder
+        if folder is None:
+            folder = latest_checkpoint(self.log_path)
+        if folder is None or not Path(folder).exists():
+            print(f"Cannot find weights folder: {folder}")
+            return
+        params, stats, opt_state, meta = load_checkpoint(
+            folder,
+            self.state.params,
+            self.state.batch_stats,
+            self.state.opt_state if load_optimizer else None,
+        )
+        self.state = self.state.replace(
+            params=params,
+            batch_stats=stats,
+            opt_state=opt_state if opt_state is not None else self.state.opt_state,
+        )
+        self.epoch = int(meta.get("epoch", 0))
+        self.is_trained = True
+
+    def load_online_model(self, load_optimizer: bool = True, folder: Optional[Path] = None):
+        """Load the expert/online pair from the same checkpoint (reference :751-792)."""
+        if self.online_state is None:
+            raise RuntimeError("constructed with use_online=False")
+        folder = folder or self.load_weights_folder
+        params, stats, opt_state, _ = load_checkpoint(
+            folder,
+            self.online_state.params,
+            self.online_state.batch_stats,
+            self.online_state.opt_state if load_optimizer else None,
+        )
+        self.online_state = self.online_state.replace(
+            params=params,
+            batch_stats=stats,
+            opt_state=opt_state if opt_state is not None else self.online_state.opt_state,
+        )
+
+    def load_reference_checkpoint(self, weights_folder: Path):
+        """Import a PyTorch reference `weights_NNN/` folder directly."""
+        from tpuslam.checkpoint.torch_import import import_reference_checkpoint
+
+        params, stats = import_reference_checkpoint(weights_folder)
+        self.state = self.state.replace(params=params, batch_stats=stats)
+        self.is_trained = True

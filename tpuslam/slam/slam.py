@@ -96,6 +96,22 @@ class Slam:
                 with_poses=True,
                 min_distance=sc.min_distance,
             )
+        elif dc.dataset == "RobotCar":
+            from tpuslam.data.robotcar import DEFAULT_SEQUENCE, EVAL_WINDOWS, RobotCar
+
+            # reference eval windows (slam/slam.py:56-72)
+            window = EVAL_WINDOWS.get(int(sc.dataset_sequence), (750, 4750))
+            self.dataset = RobotCar(
+                dc.dataset_path,
+                DEFAULT_SEQUENCE,
+                height=dc.height,
+                width=dc.width,
+                with_poses=True,
+                min_distance=sc.min_distance,
+                start_frame=window[0],
+                end_frame=window[1],
+                every_n_frame=2,
+            )
         elif dc.dataset == "Synthetic":
             self.dataset = SyntheticDataset(
                 num_frames=dc.num_frames,
