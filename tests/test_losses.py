@@ -163,3 +163,36 @@ def test_total_loss_sample_weights(rng):
     np.testing.assert_allclose(
         float(l_first["loss"]), float(l_only["loss"]), rtol=1e-5
     )
+
+
+def test_total_loss_dynamic_mask(rng):
+    """Masked path: dynamic pixels must not contribute to the loss."""
+    target = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
+    src = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
+    # warped output equals target on the left half, garbage on the right
+    bad = target.at[:, :, W // 2 :].set(0.0)
+    inputs = {
+        ("rgb", 0, 0): target,
+        ("rgb", -1, 0): src,
+        ("rgb", 1, 0): src,
+        ("relative_distance", 0): jnp.ones(B),
+        ("relative_distance", 1): jnp.ones(B),
+    }
+    outputs = {
+        ("rgb", -1, 0): bad,
+        ("rgb", 1, 0): bad,
+        ("disp", 0): jnp.full((B, H, W, 1), 0.5),
+        ("translation", 0, -1): jnp.ones((B, 3)) / np.sqrt(3),
+        ("translation", 0, 1): jnp.ones((B, 3)) / np.sqrt(3),
+    }
+    # mask the right half as dynamic -> loss should be ~0 there
+    mask = np.zeros((B, H, W), np.float32)
+    mask[:, :, W // 2 :] = 1.0
+    masked = total_loss(
+        inputs, outputs, scales=(0,), dynamic_masks={0: jnp.asarray(mask)}
+    )
+    unmasked = total_loss(inputs, outputs, scales=(0,))
+    assert float(masked["reprojection_loss/scale_0"]) < 0.02
+    assert float(unmasked["reprojection_loss/scale_0"]) > 5 * float(
+        masked["reprojection_loss/scale_0"]
+    )

@@ -67,6 +67,7 @@ def main(argv=None) -> int:
         max_depth=pc.max_depth,
         disparity_smoothness=pc.disparity_smoothness,
         velocity_loss_scaling=pc.velocity_loss_scaling,
+        mask_dynamic=pc.mask_dynamic,
         log_path=pc.log_path,
         dp_devices=args.dp if args.dp is not None else pc.dp_devices,
     )

@@ -45,4 +45,5 @@ def sample_to_batch(sample: Sample):
         sample.K,
         sample.rel_dist[None],
         rgb_aug=None if sample.rgb_aug is None else sample.rgb_aug[None],
+        mask=None if sample.mask is None else sample.mask[None],
     )

@@ -43,6 +43,7 @@ class Sample:
     rel_pose: Optional[np.ndarray] = None  # (4, 4) GT pose of frame +1 wrt frame 0
     abs_pose: Optional[np.ndarray] = None  # (4, 4) GT global pose of frame +1
     depth: Optional[np.ndarray] = None  # (H0, W0) GT depth of frame 0, meters
+    mask: Optional[np.ndarray] = None  # (H, W) dynamic-object mask, 1 = dynamic
     filenames: Optional[Sequence[Path]] = None  # source paths of the 3 frames
 
     @property
@@ -66,6 +67,18 @@ def scale_intrinsics(K_normalized: np.ndarray, height: int, width: int) -> np.nd
     K[0, :] *= width
     K[1, :] *= height
     return K
+
+
+def flip_sample_arrays(rgb, rgb_aug=None, mask=None):
+    """Horizontal flip of a frame triplet (+aug, +mask) — the reference's
+    do_flip augmentation (datasets/utils.py:148-151, kitti.py:252-253).
+    Monodepth2 assumes a centered principal point, so intrinsics are kept."""
+    rgb = rgb[..., ::-1, :].copy()
+    if rgb_aug is not None:
+        rgb_aug = rgb_aug[..., ::-1, :].copy()
+    if mask is not None:
+        mask = mask[..., ::-1].copy()
+    return rgb, rgb_aug, mask
 
 
 # ---------------------------------------------------------------------------

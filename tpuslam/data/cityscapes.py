@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
-from tpuslam.data.base import Sample, load_image, random_color_jitter
+from tpuslam.data.base import Sample, flip_sample_arrays, load_image, random_color_jitter
 
 
 def _parse_name(path: Path) -> Tuple[str, str, int]:
@@ -36,6 +36,7 @@ class Cityscapes:
         width: int = 640,
         do_augmentation: bool = False,
         with_depth: bool = False,
+        with_mask: bool = False,
         seed: int = 42,
     ):
         self.data_path = Path(data_path)
@@ -44,6 +45,7 @@ class Cityscapes:
         self.width = width
         self.do_augmentation = do_augmentation
         self.with_depth = with_depth
+        self.with_mask = with_mask
         self._aug_rng = np.random.default_rng(seed)
 
         seq_dir = self.data_path / "leftImg8bit_sequence" / split
@@ -146,9 +148,12 @@ class Cityscapes:
         frames = [load_image(p, self.height, self.width) for p in paths]
         rgb = np.stack(frames)
         rgb_aug = None
+        mask = self._load_mask(paths[1]) if self.with_mask else None
         if self.do_augmentation:
             jitter = random_color_jitter(self._aug_rng)
             rgb_aug = np.stack([jitter(f) for f in frames])
+            if self._aug_rng.random() > 0.5:
+                rgb, rgb_aug, mask = flip_sample_arrays(rgb, rgb_aug, mask)
         rel = np.array(
             [
                 self._relative_distance(paths[0], paths[1]),
@@ -162,5 +167,24 @@ class Cityscapes:
             rgb_aug=rgb_aug,
             K=self._intrinsics(paths[1]),
             rel_dist=rel,
+            mask=mask,
             filenames=tuple(paths),
         )
+
+    def _load_mask(self, image_path: Path):
+        """Dynamic-object mask for frame 0 from `segm_mask/<split>/<city>/`
+        (reference cityscapes dynamic-object masks, :159-168); zeros when the
+        file is absent so mask_dynamic runs degrade gracefully."""
+        from PIL import Image as PILImage
+
+        city = _parse_name(image_path)[0]
+        mask_path = (
+            self.data_path / "segm_mask" / self.split / city / image_path.name
+        )
+        if not mask_path.exists():
+            return np.zeros((self.height, self.width), np.float32)
+        m = PILImage.open(mask_path).resize(
+            (self.width, self.height), PILImage.NEAREST
+        )
+        arr = np.asarray(m, np.float32)
+        return np.round(arr / max(arr.max(), 1))

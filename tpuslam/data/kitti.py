@@ -24,6 +24,7 @@ import numpy as np
 from tpuslam.data.base import (
     KITTI_NORMALIZED_K,
     Sample,
+    flip_sample_arrays,
     load_image,
     random_color_jitter,
     scale_intrinsics,
@@ -66,6 +67,7 @@ class KittiOdometry:
         width: int = 640,
         with_poses: bool = True,
         with_depth: bool = False,
+        with_mask: bool = False,
         min_distance: float = 0.0,
         do_augmentation: bool = False,
         seed: int = 42,
@@ -82,12 +84,14 @@ class KittiOdometry:
         self.width = width
         self.with_poses = with_poses
         self.with_depth = with_depth
+        self.with_mask = with_mask
         self.do_augmentation = do_augmentation
         self._aug_rng = np.random.default_rng(seed)
         self.K = scale_intrinsics(KITTI_NORMALIZED_K, height, width)
 
         self.image_files: list = []
         self.depth_files: list = []
+        self.mask_files: list = []
         self.global_poses_list: list = []
         self.relative_distances_list: list = []
         self._sequence_bounds: list = []  # (start, end) per sequence in concat order
@@ -97,6 +101,11 @@ class KittiOdometry:
             images = sorted((seq_dir / "image_2").glob("*.png"))
             if not images:
                 raise FileNotFoundError(f"no images under {seq_dir / 'image_2'}")
+            masks = (
+                sorted((seq_dir / "segm_mask" / "image_2").glob("*.png"))
+                if with_mask
+                else []
+            )
             ts = _parse_timestamps(seq_dir / "oxts" / "timestamps.txt")
             vel_files = sorted((seq_dir / "oxts" / "data").glob("*.txt"))
             speeds = np.array(
@@ -127,6 +136,8 @@ class KittiOdometry:
                 if poses is not None:
                     poses = poses[keep]
 
+            if with_mask and len(masks) < len(images):
+                raise FileNotFoundError("segm_mask does not cover all images")
             if min_distance > 0:
                 # keep frames at least min_distance apart, accumulating the
                 # skipped distance into the kept frame's relative distance
@@ -145,10 +156,13 @@ class KittiOdometry:
                     poses = poses[keep]
                 if depths:
                     depths = [depths[i] for i in keep]
+                if masks:
+                    masks = [masks[i] for i in keep]
 
             start = len(self.image_files)
             self.image_files.extend(images)
             self.depth_files.extend(depths if depths else [None] * len(images))
+            self.mask_files.extend(masks if masks else [None] * len(images))
             self.relative_distances_list.append(rel)
             if poses is not None:
                 self.global_poses_list.append(poses)
@@ -172,6 +186,12 @@ class KittiOdometry:
         depth = np.asarray(PILImage.open(path), dtype=np.float32)
         return depth / 100.0  # cm -> m (reference kitti.py:351)
 
+    def _load_mask(self, path: Path) -> np.ndarray:
+        from PIL import Image as PILImage
+
+        m = PILImage.open(path).resize((self.width, self.height), PILImage.NEAREST)
+        return np.round(np.asarray(m, np.float32) / max(np.asarray(m).max(), 1))
+
     def __getitem__(self, index: int) -> Sample:
         if not 0 <= index < len(self):
             raise IndexError(index)
@@ -182,9 +202,14 @@ class KittiOdometry:
         ]
         rgb = np.stack(frames)
         rgb_aug = None
+        mask = None
+        if self.with_mask and self.mask_files[center] is not None:
+            mask = self._load_mask(self.mask_files[center])
         if self.do_augmentation:
             jitter = random_color_jitter(self._aug_rng)
             rgb_aug = np.stack([jitter(f) for f in frames])
+            if self._aug_rng.random() > 0.5:
+                rgb, rgb_aug, mask = flip_sample_arrays(rgb, rgb_aug, mask)
 
         rel_pose = abs_pose = None
         if self.global_poses is not None:
@@ -209,5 +234,6 @@ class KittiOdometry:
             rel_pose=rel_pose,
             abs_pose=abs_pose,
             depth=depth,
+            mask=mask,
             filenames=tuple(self.image_files[center + off] for off in (-1, 0, 1)),
         )

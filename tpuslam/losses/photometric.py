@@ -64,12 +64,15 @@ def reprojection_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
     return 0.85 * ssim_l + 0.15 * l1
 
 
-def smooth_loss(disp: jax.Array, img: jax.Array) -> jax.Array:
+def smooth_loss(
+    disp: jax.Array, img: jax.Array, static_mask: Optional[jax.Array] = None
+) -> jax.Array:
     """Edge-aware smoothness on mean-normalised disparity -> (B,) per-sample.
 
-    Reference `_compute_smooth_loss` (depth_pose_prediction.py:1148-1176) with
-    the full mask (mask_dynamic=False path): mean |∂disp| * exp(-|∂img|).
-    disp: (B, H, W, 1); img: (B, H, W, 3) at the same scale.
+    Reference `_compute_smooth_loss` (depth_pose_prediction.py:1148-1176):
+    mean |∂disp| * exp(-|∂img|); with `static_mask` (1 = keep) the mean runs
+    over static pixels only (the mask_dynamic pretraining path).
+    disp: (B, H, W, 1); img: (B, H, W, 3); static_mask: (B, H, W) or None.
     """
     d = disp[..., 0]
     grad_disp_x = jnp.abs(d[:, :, :-1] - d[:, :, 1:])
@@ -78,7 +81,14 @@ def smooth_loss(disp: jax.Array, img: jax.Array) -> jax.Array:
     grad_img_y = jnp.abs(img[:, :-1, :] - img[:, 1:, :]).mean(axis=-1)
     gx = grad_disp_x * jnp.exp(-grad_img_x)
     gy = grad_disp_y * jnp.exp(-grad_img_y)
-    return gx.mean(axis=(1, 2)) + gy.mean(axis=(1, 2))
+    if static_mask is None:
+        return gx.mean(axis=(1, 2)) + gy.mean(axis=(1, 2))
+    mx = static_mask[:, :, :-1]
+    my = static_mask[:, :-1, :]
+    eps = 1e-7
+    sx = (gx * mx).sum(axis=(1, 2)) / (mx.sum(axis=(1, 2)) + eps)
+    sy = (gy * my).sum(axis=(1, 2)) / (my.sum(axis=(1, 2)) + eps)
+    return sx + sy
 
 
 def normalize_disp(disp: jax.Array) -> jax.Array:
@@ -118,6 +128,7 @@ def total_loss(
     velocity_loss_scaling: Optional[float] = 0.05,
     sample_weights: Optional[jax.Array] = None,
     rng: Optional[jax.Array] = None,
+    dynamic_masks: Optional[Dict[int, jax.Array]] = None,
 ) -> Dict[str, jax.Array]:
     """Fused multi-scale loss — the reference `_compute_loss` semantics.
 
@@ -133,6 +144,10 @@ def total_loss(
     sample_weights default to uniform 1/B.  `rng` drives the 1e-5 identity
     tie-break noise (depth_pose_prediction.py:1054-1056); pass None for a
     deterministic eval-style loss without noise.
+
+    `dynamic_masks` (scale -> (B, Hs, Ws), 1 = dynamic object) activates the
+    reference's mask_dynamic pretraining path (:1063-1075): reprojection and
+    smoothness average over static pixels globally (not per-sample weighted).
     """
     target = inputs[("rgb", 0, 0)]
     B = target.shape[0]
@@ -157,13 +172,21 @@ def total_loss(
         )  # (B, F, H, W)
         combined = jnp.concatenate([identity, reproj], axis=1)
         to_optimize = combined.min(axis=1)  # (B, H, W)
-        reproj_l = (to_optimize.mean(axis=(1, 2)) * sample_weights).sum()
+        if dynamic_masks is not None:
+            static0 = 1.0 - dynamic_masks[0]  # full-res mask of frame 0
+            reproj_l = (to_optimize * static0).sum() / (static0.sum() + 1e-7)
+        else:
+            reproj_l = (to_optimize.mean(axis=(1, 2)) * sample_weights).sum()
         losses[f"reprojection_loss/scale_{scale}"] = reproj_l
 
         disp = outputs[("disp", scale)]
         color = inputs[("rgb", 0, scale)]
-        smooth = smooth_loss(normalize_disp(disp), color)
-        smooth_l = (smooth * sample_weights).sum()
+        if dynamic_masks is not None:
+            smooth_l = smooth_loss(
+                normalize_disp(disp), color, static_mask=1.0 - dynamic_masks[scale]
+            ).mean()
+        else:
+            smooth_l = (smooth_loss(normalize_disp(disp), color) * sample_weights).sum()
         losses[f"smooth_loss/scale_{scale}"] = smooth_l
         reg_l = disparity_smoothness / (2**scale) * smooth_l
         losses[f"reg_loss/scale_{scale}"] = reg_l

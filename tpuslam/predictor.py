@@ -114,6 +114,7 @@ class DepthPosePrediction:
             max_depth=c.max_depth,
             disparity_smoothness=c.disparity_smoothness,
             velocity_loss_scaling=c.velocity_loss_scaling,
+            mask_dynamic=c.mask_dynamic,
             log_path=c.log_path,
             dp_devices=c.dp_devices,
         )

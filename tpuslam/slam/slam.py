@@ -347,6 +347,9 @@ class Slam:
             "velocity_loss": float(losses.get("velocity_loss", 0.0)),
             "loss": float(losses.get("loss", 0.0)),
         }
+        if not np.isfinite(losses_out["loss"]):
+            # hard failure like the reference (depth_pose_prediction.py:1115-1118)
+            raise RuntimeError(f"NaN loss at step {self.current_step}: {losses_out}")
 
         # --- ground-truth graph ----------------------------------------
         gt_transformation = np.asarray(sample.rel_pose, np.float64)

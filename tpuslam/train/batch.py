@@ -28,6 +28,7 @@ class FrameBatch(struct.PyTreeNode):
     inv_K: jax.Array  # (B, 4, 4)
     rel_dist: jax.Array  # (B, 2) relative distances for frames (0, 1)
     weights: jax.Array  # (B,) per-sample loss weights (sum to 1)
+    mask: jax.Array  # (B, H, W) dynamic-object mask of frame 0 (1 = dynamic)
 
     @property
     def batch_size(self) -> int:
@@ -52,14 +53,18 @@ def make_frame_batch(
     rel_dist: np.ndarray,
     rgb_aug: Optional[np.ndarray] = None,
     weights: Optional[np.ndarray] = None,
+    mask: Optional[np.ndarray] = None,
 ) -> FrameBatch:
-    """Host-side constructor with defaulting (aug=rgb, uniform weights)."""
+    """Host-side constructor with defaulting (aug=rgb, uniform weights,
+    empty dynamic mask)."""
     rgb = np.asarray(rgb, np.float32)
-    B = rgb.shape[0]
+    B, _, H, W, _ = rgb.shape
     if rgb_aug is None:
         rgb_aug = rgb
     if weights is None:
         weights = np.full((B,), 1.0 / B, np.float32)
+    if mask is None:
+        mask = np.zeros((B, H, W), np.float32)
     K = np.asarray(K, np.float32)
     if K.ndim == 2:
         K = np.broadcast_to(K, (B, 4, 4))
@@ -71,6 +76,7 @@ def make_frame_batch(
         inv_K=jnp.asarray(inv_K.astype(np.float32)),
         rel_dist=jnp.asarray(np.asarray(rel_dist, np.float32)),
         weights=jnp.asarray(np.asarray(weights, np.float32)),
+        mask=jnp.asarray(np.asarray(mask, np.float32)),
     )
 
 
@@ -99,6 +105,7 @@ def pad_batch(batch: FrameBatch, target_size: int) -> FrameBatch:
         weights=jnp.concatenate(
             [batch.weights, jnp.zeros((pad,), batch.weights.dtype)], axis=0
         ),
+        mask=pad_arr(batch.mask),
     )
 
 
@@ -114,4 +121,5 @@ def concat_batches(a: FrameBatch, b: FrameBatch) -> FrameBatch:
         inv_K=jnp.concatenate([a.inv_K, b.inv_K]),
         rel_dist=jnp.concatenate([a.rel_dist, b.rel_dist]),
         weights=w,
+        mask=jnp.concatenate([a.mask, b.mask]),
     )

@@ -47,11 +47,15 @@ def batches_from(
         if len(idx) < batch_size and drop_last:
             return
         samples: List[Sample] = [dataset[int(i)] for i in idx]
+        mask = None
+        if all(s.mask is not None for s in samples):
+            mask = np.stack([s.mask for s in samples])
         yield make_frame_batch(
             np.stack([s.rgb for s in samples]),
             np.stack([s.K for s in samples]),
             np.stack([s.rel_dist for s in samples]),
             rgb_aug=np.stack([s.aug for s in samples]),
+            mask=mask,
         )
 
 
@@ -71,6 +75,7 @@ class Pretrainer:
         max_depth: Optional[float] = None,
         disparity_smoothness: float = 1e-3,
         velocity_loss_scaling: Optional[float] = 0.05,
+        mask_dynamic: bool = False,
         log_path: Path = Path("./log/pretrain"),
         dp_devices: int = 1,
         seed: int = 42,
@@ -96,6 +101,7 @@ class Pretrainer:
             max_depth=max_depth,
             disparity_smoothness=disparity_smoothness,
             velocity_loss_scaling=velocity_loss_scaling,
+            mask_dynamic=mask_dynamic,
         )
         self.tx = make_pretrain_optimizer(learning_rate)
         self.state = make_train_state(
@@ -131,6 +137,8 @@ class Pretrainer:
             self.state, step_losses = self._step(batch)
             if (i + 1) % 25 == 0:
                 loss = float(step_losses["loss"])  # sync point
+                if not np.isfinite(loss):
+                    raise RuntimeError(f"NaN loss at epoch {self.epoch} step {i + 1}")
                 losses.append(loss)
                 if progress:
                     print(f"epoch {self.epoch} step {i + 1}: loss={loss:.4f}")

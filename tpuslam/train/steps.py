@@ -58,6 +58,7 @@ class LossConfig(NamedTuple):
     max_depth: Optional[float] = None
     disparity_smoothness: float = 1e-3
     velocity_loss_scaling: Optional[float] = 0.05
+    mask_dynamic: bool = False  # mask dynamic objects (Cityscapes pretraining)
 
 
 def _avg_pool2(x: jax.Array) -> jax.Array:
@@ -169,6 +170,14 @@ def forward(
     inputs[("rgb", 1, 0)] = batch.frame(1)
     inputs[("relative_distance", 0)] = batch.rel_dist[:, 0]
     inputs[("relative_distance", 1)] = batch.rel_dist[:, 1]
+    dynamic_masks = None
+    if cfg.mask_dynamic:
+        # mask pyramid: mean-pool then re-binarise (reference resizes the
+        # mask per scale and rounds, datasets/utils.py + kitti.py:355)
+        m = {0: batch.mask}
+        for s in range(1, len(cfg.scales)):
+            m[s] = jnp.round(_avg_pool2(m[s - 1][..., None])[..., 0])
+        dynamic_masks = m
     losses = total_loss(
         inputs,
         outputs,
@@ -177,6 +186,7 @@ def forward(
         velocity_loss_scaling=cfg.velocity_loss_scaling,
         sample_weights=sample_weights if sample_weights is not None else batch.weights,
         rng=rng,
+        dynamic_masks=dynamic_masks,
     )
     return losses, outputs, stats
 
