@@ -1,0 +1,73 @@
+"""Pallas warp kernel vs the XLA sampler (interpret mode on CPU).
+
+Smooth warps (the SLAM case) must match exactly; gradients w.r.t. coords must
+match the autodiff of the XLA sampler.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuslam.geometry.camera import bilinear_sampler
+from tpuslam.ops.pallas_warp import TILE_W, WINDOW_H, pallas_warp
+
+B, H, W, C = 2, 16, 256, 3
+
+
+def _smooth_coords(rng, max_shift=3.0):
+    """Smooth displacement field well inside the window budget."""
+    gx, gy = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32), indexing="xy")
+    dx = max_shift * np.sin(gy / H * 3.0)[None] * np.ones((B, 1, 1), np.float32)
+    dy = max_shift * np.cos(gx / W * 2.0)[None] * np.ones((B, 1, 1), np.float32)
+    coords = np.stack([gx[None] + dx, gy[None] + dy], axis=-1).astype(np.float32)
+    return jnp.asarray(coords)
+
+
+@pytest.fixture
+def data(rng):
+    src = jnp.asarray(rng.uniform(size=(B, H, W, C)).astype(np.float32))
+    return src, _smooth_coords(rng)
+
+
+def test_pallas_warp_matches_xla_sampler(data):
+    src, coords = data
+    ours = np.asarray(pallas_warp(src, coords, True))
+    ref = np.asarray(bilinear_sampler(src, coords))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_pallas_warp_border_coords(data, rng):
+    """Coordinates clamped at the image border still match (same border rule)
+    as long as they stay within the tile's window footprint."""
+    src, coords = data
+    coords = coords.at[:, :, :4, 0].set(-2.0)  # off the left edge
+    ours = np.asarray(pallas_warp(src, coords, True))
+    ref = np.asarray(bilinear_sampler(src, coords))
+    # left-edge columns: window xmin is 0 there, so exact match
+    np.testing.assert_allclose(ours[:, :, :TILE_W], ref[:, :, :TILE_W], atol=1e-5)
+
+
+def test_pallas_warp_gradients_match(data):
+    src, coords = data
+
+    def loss_pallas(c):
+        return (pallas_warp(src, c, True) ** 2).sum()
+
+    def loss_xla(c):
+        return (bilinear_sampler(src, c) ** 2).sum()
+
+    g_pallas = np.asarray(jax.grad(loss_pallas)(coords))
+    g_xla = np.asarray(jax.grad(loss_xla)(coords))
+    np.testing.assert_allclose(g_pallas, g_xla, atol=1e-3, rtol=1e-3)
+
+
+def test_pallas_warp_identity(data, rng):
+    src, _ = data
+    gx, gy = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32), indexing="xy")
+    coords = jnp.asarray(
+        np.broadcast_to(np.stack([gx, gy], -1), (B, H, W, 2)).astype(np.float32)
+    )
+    out = np.asarray(pallas_warp(src, coords, True))
+    np.testing.assert_allclose(out, np.asarray(src), atol=1e-6)
