@@ -131,3 +131,41 @@ def test_known_translation_shifts_image(rng):
     coords = np.asarray(project_3d(pts, K[None], T, H, W))
     gx, _ = np.meshgrid(np.arange(W), np.arange(H), indexing="xy")
     np.testing.assert_allclose(coords[0, ..., 0], gx + shift, atol=1e-2)
+
+
+def test_disp_to_depth_saturated_sigmoid_stays_finite():
+    """f32 sigmoid can underflow to exactly 0 on saturated decoders; depth and
+    its gradient must stay finite (NaN regression, see geometry/depth.py)."""
+    import jax
+
+    from tpuslam.geometry import disp_to_depth
+
+    disp = jnp.asarray([0.0, 1e-38, 1e-4, 0.5, 1.0])
+    depth = disp_to_depth(disp, 0.1, None)
+    assert bool(jnp.isfinite(depth).all())
+    g = jax.grad(lambda d: disp_to_depth(d, 0.1, None).sum())(disp)
+    assert bool(jnp.isfinite(g).all())
+    # non-degenerate values identical to the unclamped formula
+    np.testing.assert_allclose(float(depth[3]), 0.2, rtol=1e-6)
+    np.testing.assert_allclose(float(depth[4]), 0.1, rtol=1e-6)
+
+
+def test_project_behind_camera_finite_gradients(rng):
+    """Points behind the camera must not produce infinite coord gradients."""
+    import jax
+
+    from tpuslam.geometry import backproject_depth, pixel_grid, project_3d
+
+    K, inv_K = scale_camera_matrix(
+        np.array([[0.58, 0, 0.5, 0], [0, 1.92, 0.5, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32), H, W)
+    T = jnp.eye(4).at[2, 3].set(-5.0)[None]  # translate points behind camera
+
+    def f(depth):
+        pts = backproject_depth(depth, inv_K[None], pixel_grid(H, W))
+        coords = project_3d(pts, K[None], T, H, W)
+        return (coords ** 2).mean()
+
+    depth = jnp.full((1, H, W), 0.5)  # all points end up at z < 0
+    g = jax.grad(f)(depth)
+    assert bool(jnp.isfinite(g).all())

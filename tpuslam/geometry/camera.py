@@ -66,7 +66,7 @@ def project_3d(
     T: jax.Array,
     height: int,
     width: int,
-    eps: float = 1e-7,
+    eps: float = 1e-3,
 ) -> jax.Array:
     """Project homogeneous 3D points into pixel coordinates of a camera at T.
 
@@ -81,7 +81,13 @@ def project_3d(
     """
     P = _mm(K, T)[:, :3, :]  # (B, 3, 4)
     cam = _mm(P, points)  # (B, 3, HW)
-    xy = cam[:, :2, :] / (cam[:, 2:3, :] + eps)
+    # Gradient-stable depth clamp: the reference divides by (z + 1e-7)
+    # (layers.py:98), which still yields ~1/z^2 = 1e14 gradients when points
+    # land behind the camera (z <= 0) during aggressive adaptation — the NaN
+    # path.  max(z, eps) gives identical values for all valid points and
+    # zero gradient for degenerate ones (whose warp clamps to border anyway).
+    z = jnp.maximum(cam[:, 2:3, :], eps)
+    xy = cam[:, :2, :] / z
     B = points.shape[0]
     return xy.reshape(B, 2, height, width).transpose(0, 2, 3, 1)
 

@@ -54,16 +54,30 @@ def set_learning_rate(opt_state, learning_rate: float):
 
 
 def make_adapt_optimizer(
-    params, learning_rate: float = 1e-4, freeze_encoder: bool = True
+    params,
+    learning_rate: float = 1e-4,
+    freeze_encoder: bool = True,
+    grad_clip_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
-    """Adam over decoder params only; encoder entries are masked out."""
+    """Adam over decoder params only; encoder entries are masked out.
+
+    `grad_clip_norm` prepends global-norm clipping — the reference has no
+    clipping (parity default None), but aggressive online adaptation can
+    produce gradient spikes; see BASELINE.md stability notes."""
+    def adam():
+        if grad_clip_norm is None:
+            return optax.adam(learning_rate)
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip_norm), optax.adam(learning_rate)
+        )
+
     if not freeze_encoder:
-        return optax.adam(learning_rate)
+        return adam()
     labels = jax.tree_util.tree_map(
         lambda frozen: "frozen" if frozen else "train", encoder_path_mask(params)
     )
     return optax.multi_transform(
-        {"train": optax.adam(learning_rate), "frozen": optax.set_to_zero()},
+        {"train": adam(), "frozen": optax.set_to_zero()},
         labels,
     )
 
