@@ -20,6 +20,13 @@ treated as constant (camera images are inputs, never parameters).
 
 Opt-in: `tpuslam.train.steps` uses the XLA sampler by default; enable after
 profiling on target silicon.
+
+Toolchain note: the development environment's remote-compile Mosaic stack
+rejects ALL dynamic addressing (dynamic `pl.ds` VMEM slices, dynamic-offset
+`make_async_copy`, scalar-prefetch-driven windows all fail with the same
+internal error), so this kernel is currently validated in interpreter mode
+(bit-exact vs the XLA sampler, including VJP) and compiles on standard
+libtpu toolchains that support dynamic slicing.
 """
 from __future__ import annotations
 

@@ -225,7 +225,6 @@ class Slam:
         self.velocity_loss: List[float] = []
         self.depth_error: List[Dict[str, float]] = []
         self.step_times: List[float] = []
-        self._lc_cache: Dict[int, np.ndarray] = {}  # frame+1 images by step
 
     def __len__(self) -> int:
         return len(self.dataset)
@@ -380,7 +379,6 @@ class Slam:
             self.loop_closure_detection.add(
                 self.current_step, self._lc_embedding(sample, outputs)
             )
-            self._lc_cache[self.current_step] = sample.rgb[2]
             if (
                 self.current_step % self.keyframe_frequency == 0
                 and self.current_step < LC_MAX_STEP
@@ -455,8 +453,9 @@ class Slam:
         )
 
     def _lc_image(self, lc_id: int) -> Optional[np.ndarray]:
-        if lc_id in self._lc_cache:
-            return self._lc_cache[lc_id]
+        """Frame +1 image of the step that registered `lc_id` — re-served by
+        the dataset on demand (LC matches are rare; caching every frame would
+        grow unboundedly over a long run)."""
         idx = lc_id - 1
         if 0 <= idx < len(self.dataset):
             return self.dataset[idx].rgb[2]
