@@ -112,3 +112,23 @@ def test_prefetcher_preserves_order():
     items = list(range(50))
     out = list(Prefetcher(iter(items), depth=4))
     assert out == items
+
+
+def test_chained_dataset_domains_and_poses():
+    from tpuslam.data import ChainedDataset
+
+    a = SyntheticDataset(num_frames=5, height=24, width=48, seed=0)
+    b = SyntheticDataset(num_frames=4, height=24, width=48, seed=9,
+                         trajectory="straight")
+    ds = ChainedDataset([a, b])
+    assert len(ds) == 9
+    assert ds.domain_of(0) == 0 and ds.domain_of(5) == 1
+    s = ds[6]
+    assert s.index == 6 and s.rgb.shape == (3, 24, 48, 3)
+    # chained abs poses are continuous: domain-1 poses are offset by
+    # domain-0's final pose
+    sa_last = a[4].abs_pose
+    sb_first = ds[5].abs_pose
+    # the offset chain keeps positions in the same world frame (no jump back
+    # to origin)
+    assert np.linalg.norm(sb_first[:3, 3]) >= np.linalg.norm(sa_last[:3, 3]) - 2.0

@@ -11,12 +11,14 @@ from tpuslam.data.base import (
     scale_intrinsics,
 )
 from tpuslam.data.cityscapes import Cityscapes
+from tpuslam.data.multi import ChainedDataset
 from tpuslam.data.kitti import KITTI_RAW_SEQ_MAPPING, KittiOdometry
 from tpuslam.data.robotcar import RobotCar, undistort_robotcar
 from tpuslam.data.synthetic import SyntheticDataset, make_trajectory
 
 __all__ = [
     "KITTI_NORMALIZED_K",
+    "ChainedDataset",
     "Cityscapes",
     "KITTI_RAW_SEQ_MAPPING",
     "KittiOdometry",

@@ -241,7 +241,19 @@ class Slam:
     def _training_batch(self, online: FrameBatch, sample: Sample) -> FrameBatch:
         if self.replay_buffer is None or len(self.replay_buffer) == 0:
             return pad_batch(online, self.batch_size)
-        draws = self.replay_buffer.get(current_index=sample.index)
+        embedding = None
+        if self.replay_buffer.similarity_sampling:
+            # similarity-weighted draws need the current frame's embedding
+            # before the fused dispatch — one extra encoder forward
+            # (reference always pays this, slam/slam.py:143-147; we only pay
+            # it when the mode is enabled)
+            embedding = np.asarray(
+                _embed_frame(
+                    self.model, self.state.params, self.state.batch_stats,
+                    jnp.asarray(sample.rgb[1][None]),
+                )
+            )[0]
+        draws = self.replay_buffer.get(current_index=sample.index, embedding=embedding)
         if not draws:
             return pad_batch(online, self.batch_size)
         replay = make_frame_batch(
