@@ -141,3 +141,30 @@ def test_slam_async_covio_mode(tmp_path):
     assert not np.allclose(p0, p1), "async update must still adapt weights"
     slam.step()
     assert len(slam.pose_graph.vertex_ids) == 3
+
+
+@pytest.mark.slow
+def test_slam_multi_domain_chained(tmp_path):
+    """CoVIO-style 3-domain deployment: a chained dataset runs through one
+    SLAM session; expert resets from the generalist at domain boundaries."""
+    from tpuslam.data import ChainedDataset
+
+    domains = [
+        SyntheticDataset(num_frames=4, height=H, width=W, seed=s, speed=0.8)
+        for s in (0, 5, 9)
+    ]
+    chained = ChainedDataset(domains)
+    cfg = _config(tmp_path, use_expert=True, generalist_interval=2)
+    cfg.dataset.num_frames = len(chained)
+    slam = Slam(cfg, dataset=chained)
+    last_domain = 0
+    for _ in range(len(chained)):
+        idx = slam.current_step  # frame about to be processed
+        d = chained.domain_of(idx)
+        if d != last_domain:
+            slam.reset_expert_from_generalist()
+            last_domain = d
+        slam.step()
+    assert slam.current_step == 12
+    assert len(slam.pose_graph.vertex_ids) == 13
+    assert last_domain == 2
