@@ -147,3 +147,16 @@ def test_predict_pose_step(setup, rng):
     np.testing.assert_allclose(np.asarray(cov), np.eye(6), atol=0)
     # near-identity for an identical pair at init (0.01 output scaling)
     assert np.abs(np.asarray(T[0]) - np.eye(4)).max() < 0.05
+
+
+def test_concat_batches_uniform_weights(rng):
+    """online(1) ++ replay(2) must give the reference's uniform 1/3 weights."""
+    a = _batch(rng, 1)
+    b = _batch(rng, 2)
+    c = concat_batches(a, b)
+    np.testing.assert_allclose(np.asarray(c.weights), [1 / 3] * 3, atol=1e-6)
+    # padded afterwards: zero-weight tail, real weights unchanged
+    p = pad_batch(c, 5)
+    np.testing.assert_allclose(
+        np.asarray(p.weights), [1 / 3, 1 / 3, 1 / 3, 0, 0], atol=1e-6
+    )

@@ -144,11 +144,21 @@ class DepthPosePrediction:
         training_batch: Optional[FrameBatch] = None,
         steps: int = 1,
         use_online: bool = False,
+        online_loss_weight: Optional[float] = None,
+        online_index: int = 0,
     ):
         """Online adaptation (reference adapt(), :291-319): K fused update
-        iterations when training data is given, otherwise a no-grad eval."""
+        iterations when training data is given, otherwise a no-grad eval.
+        `online_loss_weight` re-weights the online sample, spreading the rest
+        uniformly over the replay samples (reference :297-305)."""
         state = self.online_state if (use_online and self.online_state) else self.state
         if training_batch is not None:
+            if online_loss_weight is not None and training_batch.batch_size > 1:
+                B = training_batch.batch_size
+                buffer_w = (1.0 - online_loss_weight) / (B - 1)
+                w = np.full((B,), buffer_w, np.float32)
+                w[online_index] = online_loss_weight
+                training_batch = training_batch.replace(weights=jnp.asarray(w))
             training_batch = pad_batch(training_batch, self.batch_size)
             state, losses, outputs = adapt_step(
                 self.model, self.tx, self.loss_cfg, state,

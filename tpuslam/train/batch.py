@@ -110,10 +110,16 @@ def pad_batch(batch: FrameBatch, target_size: int) -> FrameBatch:
 
 
 def concat_batches(a: FrameBatch, b: FrameBatch) -> FrameBatch:
-    """Concatenate along the sample axis (online ++ replay, slam/slam.py:301-309),
-    renormalising weights to sum to one."""
-    w = jnp.concatenate([a.weights, b.weights])
-    w = w / w.sum()
+    """Concatenate along the sample axis (online ++ replay, slam/slam.py:301-309).
+
+    Each side's weights sum to 1; they are scaled by its share of the combined
+    batch so the default (uniform within each side) yields the reference's
+    uniform 1/B weighting over the whole batch (depth_pose_prediction.py:1032)
+    while intentional non-uniform weights within a side are preserved."""
+    Ba, Bb = a.batch_size, b.batch_size
+    w = jnp.concatenate(
+        [a.weights * (Ba / (Ba + Bb)), b.weights * (Bb / (Ba + Bb))]
+    )
     return FrameBatch(
         rgb=jnp.concatenate([a.rgb, b.rgb]),
         rgb_aug=jnp.concatenate([a.rgb_aug, b.rgb_aug]),
