@@ -91,3 +91,17 @@ def test_metrics_apis(predictor, dataset):
     assert np.isfinite(pose_err["trans_error"])
     val = predictor.validate(dataset, max_batches=1)
     assert np.isfinite(val)
+
+
+@pytest.mark.slow
+def test_predict_from_images_return_loss(predictor, dataset):
+    s = dataset[0]
+    K = s.K
+    out = predictor.predict_from_images(
+        s.rgb[0], s.rgb[1], return_loss=True,
+        camera_matrix=K, inv_camera_matrix=np.linalg.inv(K),
+        relative_distance=s.rel_dist[0],
+    )
+    d0, d1, T, losses = out
+    assert np.isfinite(losses["loss"]) and losses["loss"] >= 0
+    assert "velocity_loss" in losses

@@ -212,8 +212,21 @@ class DepthPosePrediction:
         )
         return np.asarray(depth[0, ..., 0]) if as_numpy else depth
 
-    def predict_from_images(self, image_0, image_1, as_numpy: bool = True):
-        """Two images -> (depth_0, depth_1, relative pose) (reference :556-626)."""
+    def predict_from_images(
+        self,
+        image_0,
+        image_1,
+        as_numpy: bool = True,
+        return_loss: bool = False,
+        camera_matrix=None,
+        inv_camera_matrix=None,
+        relative_distance=None,
+    ):
+        """Two images -> (depth_0, depth_1, relative pose) (reference :556-626).
+
+        With `return_loss=True` (and calibration given) also returns the
+        scale-0 photometric loss of warping image_0 into image_1's frame —
+        the reference's drift/novelty probe (:602-624)."""
         if not self.is_trained:
             warnings.warn("The model has not been trained yet.", RuntimeWarning)
         i0, i1 = _batchify(image_0), _batchify(image_1)
@@ -228,6 +241,45 @@ class DepthPosePrediction:
         T, _ = predict_pose_step(
             self.model, self.state.params, self.state.batch_stats, i0, i1
         )
+        if return_loss:
+            if camera_matrix is None or inv_camera_matrix is None:
+                raise ValueError("return_loss requires camera matrices")
+            from tpuslam.geometry.camera import (
+                backproject_depth,
+                bilinear_sampler,
+                pixel_grid,
+                project_3d,
+            )
+            from tpuslam.geometry.se3 import se3_inverse
+            from tpuslam.losses.photometric import reprojection_loss
+
+            H, W = i1.shape[1:3]
+            K = jnp.asarray(camera_matrix, jnp.float32).reshape(1, 4, 4)
+            inv_K = jnp.asarray(inv_camera_matrix, jnp.float32).reshape(1, 4, 4)
+            # warp image_0 (frame -1) into image_1's frame using T(0,-1)=inv(T)
+            pts = backproject_depth(d1[..., 0], inv_K, pixel_grid(H, W))
+            coords = project_3d(pts, K, se3_inverse(T), H, W)
+            warped = bilinear_sampler(i0, coords)
+            reproj = reprojection_loss(warped, i1)
+            ident = reprojection_loss(i0, i1)
+            photometric = float(jnp.minimum(reproj, ident).mean())
+            losses = {"reprojection_loss/scale_0": photometric, "loss": photometric}
+            if relative_distance is not None:
+                vel = float(
+                    jnp.abs(
+                        jnp.linalg.norm(T[0, :3, 3])
+                        - jnp.abs(jnp.asarray(relative_distance))
+                    ).mean()
+                )
+                losses["velocity_loss"] = vel
+            if as_numpy:
+                return (
+                    np.asarray(d0[0, ..., 0]),
+                    np.asarray(d1[0, ..., 0]),
+                    np.asarray(T[0]),
+                    losses,
+                )
+            return d0, d1, T, losses
         if as_numpy:
             return (
                 np.asarray(d0[0, ..., 0]),

@@ -138,6 +138,9 @@ class Slam:
                 pc.load_weights_folder, params, batch_stats
             )
             print(f"slam: loaded weights from {pc.load_weights_folder}")
+        elif pc.load_weights_folder is not None:
+            print(f"slam: weights folder not found, using random init: "
+                  f"{pc.load_weights_folder}")
         self.tx = make_adapt_optimizer(params, pc.learning_rate)
         self.state = make_train_state(params, batch_stats, self.tx)
         # Dual-network mode (CL-SLAM expert/generalist, BASELINE rung 3):

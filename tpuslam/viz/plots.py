@@ -77,3 +77,27 @@ def save_depth_panel(image: np.ndarray, depth: np.ndarray, filename: Path) -> Pa
     plt.savefig(filename, bbox_inches="tight")
     plt.close(fig)
     return Path(filename)
+
+
+def show_images(batch, filename=None, augmented: bool = False):
+    """Debug panel of a FrameBatch: samples x frames grid
+    (reference datasets/utils.py:287-307 analog; saves instead of plt.show)."""
+    plt = _plt()
+    import numpy as np
+
+    rgb = np.asarray(batch.rgb_aug if augmented else batch.rgb)
+    B, F = rgb.shape[:2]
+    fig, axs = plt.subplots(nrows=B, ncols=F, figsize=(3 * F, 1.2 * B))
+    axs = np.atleast_2d(axs)
+    rel = np.asarray(batch.rel_dist)
+    for b in range(B):
+        for f in range(F):
+            axs[b, f].imshow(rgb[b, f])
+            axs[b, f].axis("off")
+            if f > 0:
+                axs[b, f].set_title(f"{rel[b, f - 1]:.2f}m", fontsize=8)
+    fig.tight_layout()
+    out = filename or "batch_debug.png"
+    plt.savefig(out, bbox_inches="tight")
+    plt.close(fig)
+    return out
