@@ -268,12 +268,18 @@ class Slam:
         return pad_batch(concat_batches(online, replay), self.batch_size)
 
     def _lc_embedding(self, sample: Sample, outputs) -> np.ndarray:
-        """Embedding of the frame +1 image for the LC index."""
+        """Embedding of the frame +1 image for the LC index.
+
+        With the depth-encoder embedder it comes straight out of the fused
+        step's outputs (zero extra dispatches); the MobileNet embedder pays
+        one small extra forward like the reference."""
         if self.lc_embedder == "mobilenet":
             emb = self._mobilenet_apply(
                 self._mobilenet_vars, jnp.asarray(sample.rgb[2][None])
             )
             return np.asarray(l2_normalize(emb))[0]
+        if ("lc_embedding",) in outputs:
+            return np.asarray(outputs[("lc_embedding",)])[0]
         emb = _embed_frame(
             self.model,
             self.state.params,
@@ -302,6 +308,7 @@ class Slam:
             losses, outputs = eval_step(
                 self.model, self.loss_cfg, self.state.params,
                 self.state.batch_stats, online,
+                with_lc_embedding=self.do_loop_closures,
             )
             training = self._training_batch(online, sample)
             self.state, _ = consolidate_step(
@@ -318,11 +325,13 @@ class Slam:
                 online,
                 training,
                 num_steps=self.adaptation_epochs,
+                with_lc_embedding=self.do_loop_closures,
             )
         else:
             losses, outputs = eval_step(
                 self.model, self.loss_cfg, self.state.params,
                 self.state.batch_stats, online,
+                with_lc_embedding=self.do_loop_closures,
             )
 
         # --- generalist consolidation (dual-network mode) -----------------

@@ -201,7 +201,8 @@ def _frozen_encoder_params(params):
 
 @partial(
     jax.jit,
-    static_argnames=("model", "tx", "cfg", "num_steps", "freeze_encoder"),
+    static_argnames=("model", "tx", "cfg", "num_steps", "freeze_encoder",
+                     "with_lc_embedding"),
     donate_argnames=("state",),
 )
 def adapt_step(
@@ -213,6 +214,7 @@ def adapt_step(
     training: FrameBatch,
     num_steps: int,
     freeze_encoder: bool = True,
+    with_lc_embedding: bool = True,
 ):
     """One SLAM frame: K fused adaptation iterations + eval outputs.
 
@@ -248,6 +250,16 @@ def adapt_step(
         model, params, state.batch_stats, online, cfg, train_bn=False
     )
     eval_outputs[("embedding",)] = l2_normalize(eval_outputs[("feat4",)])
+    if with_lc_embedding:
+        # loop-closure embedding of the frame +1 image, in the same dispatch
+        # (the reference pays a separate MobileNet forward per frame,
+        # loop_closure_detection.py:41-51)
+        _, lc_feat = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            online.frame(1),
+            method=DepthPoseNet.depth_forward,
+        )
+        eval_outputs[("lc_embedding",)] = l2_normalize(lc_feat)
     eval_losses["iter_losses"] = iter_losses
 
     new_state = TrainState(
@@ -307,7 +319,7 @@ def consolidate_step(
 
 @partial(
     jax.jit,
-    static_argnames=("model", "cfg"),
+    static_argnames=("model", "cfg", "with_lc_embedding"),
 )
 def eval_step(
     model: DepthPoseNet,
@@ -315,6 +327,7 @@ def eval_step(
     params,
     batch_stats,
     batch: FrameBatch,
+    with_lc_embedding: bool = False,
 ):
     """No-grad forward: losses + outputs + normalised embedding.
 
@@ -322,6 +335,13 @@ def eval_step(
     """
     losses, outputs, _ = forward(model, params, batch_stats, batch, cfg, train_bn=False)
     outputs[("embedding",)] = l2_normalize(outputs[("feat4",)])
+    if with_lc_embedding:
+        _, lc_feat = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch.frame(1),
+            method=DepthPoseNet.depth_forward,
+        )
+        outputs[("lc_embedding",)] = l2_normalize(lc_feat)
     return losses, outputs
 
 
