@@ -18,7 +18,7 @@ undistortion via the camera-model lookup table.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Union
 
 import numpy as np
 from scipy.interpolate import interp1d

@@ -14,7 +14,7 @@ infinite C-inf sum of sinusoids, so photometric gradients exist everywhere
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

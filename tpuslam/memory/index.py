@@ -16,7 +16,7 @@ batched searches `batched_cosine_topk` provides the jittable on-device path
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ Here both are first-class:
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

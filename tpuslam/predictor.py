@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import warnings
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,9 +24,8 @@ from tpuslam.config.schema import DatasetConfig, DepthPoseConfig
 from tpuslam.data.base import Sample
 from tpuslam.eval.depth import calc_depth_error
 from tpuslam.eval.trajectory import rotation_error, translation_error
-from tpuslam.geometry.depth import disp_to_depth
 from tpuslam.models import init_depth_pose
-from tpuslam.train.batch import FrameBatch, concat_batches, make_frame_batch, pad_batch
+from tpuslam.train.batch import FrameBatch, pad_batch
 from tpuslam.train.pretrain import Pretrainer
 from tpuslam.train.state import make_adapt_optimizer, make_train_state
 from tpuslam.train.steps import (

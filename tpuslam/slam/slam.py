@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuslam.config.schema import Config
-from tpuslam.checkpoint.io import latest_checkpoint, load_checkpoint
+from tpuslam.checkpoint.io import load_checkpoint
 from tpuslam.data import KittiOdometry, SyntheticDataset
 from tpuslam.data.base import Sample
 from tpuslam.eval.depth import calc_depth_error

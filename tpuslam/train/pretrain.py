@@ -22,7 +22,6 @@ from tpuslam.data.base import Prefetcher, Sample
 from tpuslam.models import init_depth_pose
 from tpuslam.train.batch import FrameBatch, make_frame_batch
 from tpuslam.train.state import (
-    TrainState,
     make_pretrain_optimizer,
     make_train_state,
     set_learning_rate,

@@ -42,7 +42,7 @@ from tpuslam.geometry.camera import (
     resize_bilinear,
 )
 from tpuslam.geometry.depth import disp_to_depth
-from tpuslam.geometry.se3 import se3_inverse, transformation_from_parameters
+from tpuslam.geometry.se3 import transformation_from_parameters
 from tpuslam.losses.photometric import total_loss
 from tpuslam.models.depth_pose import DepthPoseNet
 from tpuslam.models.embedder import l2_normalize
