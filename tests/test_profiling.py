@@ -1,0 +1,24 @@
+import json
+import time
+
+from tpuslam.utils import MetricsLogger, StepTimer
+
+
+def test_step_timer():
+    t = StepTimer(window=3)
+    for _ in range(5):
+        with t:
+            time.sleep(0.002)
+    assert t.total_steps == 5
+    assert len(t.times) == 3  # rolling window
+    assert t.fps > 0 and t.mean_ms >= 2.0
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    logger = MetricsLogger(tmp_path / "m.jsonl")
+    logger.log({"loss": 0.5}, step=1)
+    logger.log({"loss": 0.4}, step=2)
+    lines = (tmp_path / "m.jsonl").read_text().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[1])
+    assert rec["loss"] == 0.4 and rec["step"] == 2 and "ts" in rec

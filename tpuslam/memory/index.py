@@ -16,6 +16,7 @@ batched searches `batched_cosine_topk` provides the jittable on-device path
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -113,9 +114,6 @@ class CosineIndex:
 def normalize_l2(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
     x = np.asarray(x, np.float32)
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), eps)
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnames=("k",))

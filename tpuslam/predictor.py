@@ -86,7 +86,6 @@ class DepthPosePrediction:
             if use_online
             else None
         )
-        self._trainer: Optional[Pretrainer] = None
 
     # ------------------------------------------------------------ training
     def train(

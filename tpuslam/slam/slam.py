@@ -157,7 +157,6 @@ class Slam:
         else:
             self.generalist_state = None
         self.async_adaptation = sc.async_adaptation
-        self._pending = None  # in-flight (state, losses, outputs) for async mode
         self.loss_cfg = LossConfig(
             scales=tuple(pc.scales),
             min_depth=pc.min_depth,
