@@ -168,3 +168,56 @@ def test_slam_multi_domain_chained(tmp_path):
     assert slam.current_step == 12
     assert len(slam.pose_graph.vertex_ids) == 13
     assert last_domain == 2
+
+
+@pytest.mark.slow
+def test_slam_checkpoint_and_buffer_resume(tmp_path):
+    """Crash-recovery path: save model + buffer state mid-run, then resume a
+    fresh Slam from both (reference: weights + buffer_state.pkl resumption)."""
+    cfg = _config(tmp_path)
+    cfg.replay_buffer.load_path = tmp_path / "buffer"
+    slam = Slam(cfg)
+    for _ in range(3):
+        slam.step()
+    slam.save_model()
+    n_buffer = len(slam.replay_buffer)
+    kernel = np.asarray(
+        slam.state.params["depth_decoder"]["dispconv_0_conv"]["kernel"]
+    ).copy()
+
+    from tpuslam.checkpoint.io import latest_checkpoint
+
+    cfg2 = _config(tmp_path)
+    cfg2.depth_pose.load_weights_folder = latest_checkpoint(tmp_path / "log")
+    cfg2.replay_buffer.load_path = tmp_path / "buffer"
+    slam2 = Slam(cfg2)
+    np.testing.assert_array_equal(
+        np.asarray(slam2.state.params["depth_decoder"]["dispconv_0_conv"]["kernel"]),
+        kernel,
+    )
+    assert len(slam2.replay_buffer) == n_buffer  # buffer state restored
+    assert slam2.replay_buffer.index_offset > 0  # ids continue, never collide
+    slam2.step()
+    assert len(slam2.rel_trans_error) == 1
+
+
+@pytest.mark.slow
+def test_slam_on_kitti_fixture(tmp_path, rng):
+    """Slam integrates with the KITTI loader end-to-end (fixture layout)."""
+    import sys
+    sys.path.insert(0, str((__import__("pathlib").Path(__file__)).parent))
+    from test_kitti_fixture import kitti_fixture  # reuse the fixture builder
+
+    # build the fixture manually (pytest fixtures aren't composable here)
+    gen = kitti_fixture.__wrapped__(tmp_path, rng)
+    from tpuslam.data import KittiOdometry
+
+    ds = KittiOdometry(gen, 4, height=32, width=64, with_depth=True)
+    cfg = _config(tmp_path / "run")
+    cfg.dataset.height, cfg.dataset.width = 32, 64
+    slam = Slam(cfg, dataset=ds)
+    for _ in range(3):
+        losses = slam.step()
+    assert np.isfinite(losses["loss"])
+    assert len(slam.depth_error) == 3  # GT depth flowed through
+    assert "Abs traj RMSE" in slam.final_report()
