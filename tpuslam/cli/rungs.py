@@ -1,0 +1,115 @@
+"""Run the BASELINE.json config ladder hermetically and print a table.
+
+The five rungs (BASELINE.json "configs"), executed on the synthetic world so
+no datasets are needed:
+
+  1. frozen inference (no adaptation)
+  2. online expert adaptation (photometric fine-tune, no replay)
+  3. dual-network expert+generalist with diversity replay
+  4. full SLAM: + loop closures + pose-graph optimisation
+  5. CoVIO async mode (decoupled inference/update) across 2 chained domains
+
+Usage:
+    python -m tpuslam.cli.rungs [--frames 60] [--height 96] [--width 320]
+                                [--weights <checkpoint dir>]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+from tpuslam.config import Config
+from tpuslam.config.schema import (
+    DatasetConfig,
+    DepthPoseConfig,
+    LoopClosureConfig,
+    SlamConfig,
+)
+from tpuslam.data import ChainedDataset, SyntheticDataset
+from tpuslam.eval.trajectory import compute_ate
+from tpuslam.slam import Slam
+
+
+def _run(name, cfg, dataset):
+    slam = Slam(cfg, dataset=dataset)
+    t0 = time.perf_counter()
+    slam.run(progress=False)
+    wall = time.perf_counter() - t0
+    pred = slam.pose_graph.get_all_poses()
+    gt = slam.gt_pose_graph.get_all_poses()
+    n = min(len(pred), len(gt))
+    ate = compute_ate(pred[:n], gt[:n])
+    rel_t = float(np.mean(slam.rel_trans_error)) if slam.rel_trans_error else float("nan")
+    abs_rel = (
+        float(np.mean([d["abs_rel"] for d in slam.depth_error]))
+        if slam.depth_error
+        else float("nan")
+    )
+    fps = len(slam.step_times) / max(sum(slam.step_times), 1e-9)
+    print(
+        f"{name:38s} ATE={ate:7.2f}m rel_trans={rel_t:.3f}m "
+        f"abs_rel={abs_rel:.3f} loops={slam.pose_graph.num_loop_closures} "
+        f"fps={fps:.2f} ({wall:.0f}s)"
+    )
+    return ate
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="run the BASELINE config ladder")
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--height", type=int, default=96)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--weights", type=Path, default=None)
+    ap.add_argument("--log", type=Path, default=Path("./log/rungs"))
+    args = ap.parse_args(argv)
+
+    def base_cfg(tag, batch_size=3, **slam_kwargs):
+        cfg = Config()
+        cfg.dataset = DatasetConfig(
+            dataset="Synthetic", height=args.height, width=args.width,
+            num_frames=args.frames, trajectory="loop",
+        )
+        cfg.depth_pose = DepthPoseConfig(
+            batch_size=batch_size, scales=(0, 1, 2, 3), max_depth=80.0,
+            log_path=args.log / tag, load_weights_folder=args.weights,
+        )
+        defaults = dict(
+            adaptation=True, adaptation_epochs=3, min_distance=0.0,
+            do_loop_closures=False, keyframe_frequency=5, lc_distance_poses=20,
+        )
+        defaults.update(slam_kwargs)
+        cfg.slam = SlamConfig(**defaults)
+        cfg.loop_closure = LoopClosureConfig(
+            detection_threshold=0.85, id_threshold=args.frames // 3, num_matches=1
+        )
+        cfg.replay_buffer.max_buffer_size = 20
+        return cfg
+
+    def world(seed=7, frames=None):
+        return SyntheticDataset(
+            num_frames=frames or args.frames, height=args.height,
+            width=args.width, seed=seed, trajectory="loop", speed=0.8,
+        )
+
+    print(f"BASELINE config ladder — {args.frames} frames @ "
+          f"{args.height}x{args.width}, weights={args.weights}")
+    _run("rung 1: frozen inference", base_cfg("r1", adaptation=False), world())
+    _run("rung 2: online adaptation (no replay)",
+         base_cfg("r2", batch_size=1), world())
+    _run("rung 3: dual-network + replay",
+         base_cfg("r3", use_expert=True, generalist_interval=5), world())
+    _run("rung 4: + loop closures + PGO",
+         base_cfg("r4", do_loop_closures=True), world())
+    chained = ChainedDataset([world(seed=7, frames=args.frames // 2),
+                              world(seed=11, frames=args.frames // 2)])
+    cfg5 = base_cfg("r5", async_adaptation=True)
+    cfg5.dataset.num_frames = len(chained)
+    _run("rung 5: CoVIO async, 2-domain chain", cfg5, chained)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
