@@ -304,12 +304,30 @@ class DepthPosePrediction:
         self, dataset, median_scaling: bool = True, max_samples: int = 100,
         print_results: bool = True,
     ) -> Dict[str, float]:
+        """Monodepth2-style depth eval (reference :344-468): depth always via
+        min_depth/disp regardless of the training max_depth (the reference
+        passes None at :406), per-sample metrics averaged, median scaling
+        ratio reported as med_scaling."""
         metrics = []
+        ratios = []
         for i in range(min(len(dataset), max_samples)):
             s: Sample = dataset[i]
             if s.depth is None:
                 continue
-            pred = self.predict_from_image(s.rgb[1])
+            depth, _ = predict_depth_step(
+                self.model, self.state.params, self.state.batch_stats,
+                _batchify(s.rgb[1]), min_depth=self.min_depth, max_depth=None,
+            )
+            pred = np.asarray(depth[0, ..., 0])
+            if median_scaling:
+                valid = s.depth > self.min_depth
+                if valid.any():
+                    from tpuslam.eval.depth import _resize_bilinear
+
+                    pr = _resize_bilinear(pred, *s.depth.shape)
+                    ratios.append(
+                        float(np.median(s.depth[valid]) / np.median(pr[valid]))
+                    )
             metrics.append(
                 calc_depth_error(
                     pred, s.depth, median_scaling=median_scaling,
@@ -319,6 +337,8 @@ class DepthPosePrediction:
         if not metrics:
             return {}
         out = {k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]}
+        if median_scaling and ratios:
+            out["med_scaling"] = float(np.median(ratios))
         if print_results:
             print(" ".join(f"{k}={v:.4f}" for k, v in out.items()))
         return out

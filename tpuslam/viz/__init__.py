@@ -1,5 +1,11 @@
 from tpuslam.viz.meshlab import MeshlabExporter, false_color, norm_range_01
-from tpuslam.viz.plots import plot_metrics, plot_trajectory, save_depth_panel
+from tpuslam.viz.plots import (
+    plot_image_matches,
+    plot_metrics,
+    plot_trajectory,
+    save_depth_panel,
+    show_images,
+)
 from tpuslam.viz.pointcloud import (
     accumulate_pcl,
     depth_to_pcl,
@@ -15,7 +21,9 @@ __all__ = [
     "save_point_cloud",
     "false_color",
     "norm_range_01",
+    "plot_image_matches",
     "plot_metrics",
     "plot_trajectory",
     "save_depth_panel",
+    "show_images",
 ]

@@ -101,3 +101,29 @@ def show_images(batch, filename=None, augmented: bool = False):
     plt.savefig(out, bbox_inches="tight")
     plt.close(fig)
     return out
+
+
+def plot_image_matches(
+    image_0,
+    image_1,
+    image_id_0=None,
+    image_id_1=None,
+    cosine_similarity=None,
+    filename=None,
+):
+    """Loop-closure match debug figure (reference
+    loop_closure_detection/utils.py:6-32 and display_matches)."""
+    plt = _plt()
+    fig = plt.figure()
+    for i, (img, iid) in enumerate(((image_0, image_id_0), (image_1, image_id_1))):
+        ax = plt.subplot(2, 1, i + 1)
+        ax.imshow(img)
+        ax.axis("off")
+        if iid is not None:
+            ax.set_title(str(iid))
+    if cosine_similarity is not None:
+        plt.suptitle(f"cos_sim = {cosine_similarity:.4f}")
+    out = filename or f"match_{image_id_0}_{image_id_1}.png"
+    plt.savefig(out, bbox_inches="tight")
+    plt.close(fig)
+    return out
