@@ -316,12 +316,14 @@ class Slam:
             )
         elif self.do_adaptation:
             training = self._training_batch(online, sample)
+            # the online frame is training row 0 — the eval sub-batch is
+            # derived on device (online=None), halving the image transfer
             self.state, losses, outputs = adapt_step(
                 self.model,
                 self.tx,
                 self.loss_cfg,
                 self.state,
-                online,
+                None,
                 training,
                 num_steps=self.adaptation_epochs,
                 with_lc_embedding=self.do_loop_closures,

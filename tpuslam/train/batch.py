@@ -22,7 +22,12 @@ FRAME_AXIS = (-1, 0, 1)  # order of the frame dimension
 
 
 class FrameBatch(struct.PyTreeNode):
-    rgb: jax.Array  # (B, 3, H, W, 3) float32 in [0, 1], frames (-1, 0, 1)
+    """Device batch.  Images may be stored as uint8: the host->device
+    transfer is 4x smaller (source images are 8-bit camera data, so this is
+    lossless for real datasets), and `frame()` converts to f32 in [0, 1]
+    on-device inside the jitted step."""
+
+    rgb: jax.Array  # (B, 3, H, W, 3) uint8 or f32 [0,1], frames (-1, 0, 1)
     rgb_aug: jax.Array  # (B, 3, H, W, 3) color-jittered network input
     K: jax.Array  # (B, 4, 4) pixel-unit intrinsics at full resolution
     inv_K: jax.Array  # (B, 4, 4)
@@ -44,7 +49,23 @@ class FrameBatch(struct.PyTreeNode):
 
     def frame(self, frame_id: int, aug: bool = False) -> jax.Array:
         idx = FRAME_AXIS.index(frame_id)
-        return (self.rgb_aug if aug else self.rgb)[:, idx]
+        img = (self.rgb_aug if aug else self.rgb)[:, idx]
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        return img
+
+    def first(self, n: int = 1) -> "FrameBatch":
+        """Leading-sample slice with renormalised weights (used to derive the
+        online/eval sub-batch from a combined batch on device)."""
+        return FrameBatch(
+            rgb=self.rgb[:n],
+            rgb_aug=self.rgb_aug[:n],
+            K=self.K[:n],
+            inv_K=self.inv_K[:n],
+            rel_dist=self.rel_dist[:n],
+            weights=jnp.full((n,), 1.0 / n, jnp.float32),
+            mask=self.mask[:n],
+        )
 
 
 def make_frame_batch(
@@ -54,10 +75,16 @@ def make_frame_batch(
     rgb_aug: Optional[np.ndarray] = None,
     weights: Optional[np.ndarray] = None,
     mask: Optional[np.ndarray] = None,
+    quantize: bool = True,
 ) -> FrameBatch:
     """Host-side constructor with defaulting (aug=rgb, uniform weights,
-    empty dynamic mask)."""
-    rgb = np.asarray(rgb, np.float32)
+    empty dynamic mask).
+
+    `quantize=True` (default) ships images as uint8 — a 4x smaller
+    host->device transfer, lossless for 8-bit source imagery (float inputs
+    are rounded to the nearest 1/255 level, matching camera quantisation);
+    the jitted step converts back to f32 on device."""
+    rgb = np.asarray(rgb)
     B, _, H, W, _ = rgb.shape
     if rgb_aug is None:
         rgb_aug = rgb
@@ -69,9 +96,18 @@ def make_frame_batch(
     if K.ndim == 2:
         K = np.broadcast_to(K, (B, 4, 4))
     inv_K = np.linalg.inv(K)
+
+    def prep(img):
+        img = np.asarray(img)
+        if img.dtype == np.uint8:
+            return img
+        if quantize:
+            return np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+        return img.astype(np.float32)
+
     return FrameBatch(
-        rgb=jnp.asarray(rgb),
-        rgb_aug=jnp.asarray(rgb_aug, jnp.float32),
+        rgb=jnp.asarray(prep(rgb)),
+        rgb_aug=jnp.asarray(prep(rgb_aug)),
         K=jnp.asarray(K),
         inv_K=jnp.asarray(inv_K.astype(np.float32)),
         rel_dist=jnp.asarray(np.asarray(rel_dist, np.float32)),

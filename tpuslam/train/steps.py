@@ -221,6 +221,10 @@ def adapt_step(
     Mirrors reference `adapt` (depth_pose_prediction.py:291-319) + the
     embedding forward (slam/slam.py:143-147) in a single dispatch.
 
+    `online=None` derives the eval sub-batch from the leading sample of
+    `training` on device (the SLAM loop always places the online frame
+    first), halving the host->device image transfer per frame.
+
     Returns (new_state, eval_losses, eval_outputs) where eval_* come from a
     no-grad forward on the online frame with the post-update parameters.
     """
@@ -245,9 +249,10 @@ def adapt_step(
         one_iter, (state.params, state.opt_state, state.rng), None, length=num_steps
     )
 
+    eval_batch = online if online is not None else training.first(1)
     # Eval forward on the online frame with adapted params (no noise).
     eval_losses, eval_outputs, _ = forward(
-        model, params, state.batch_stats, online, cfg, train_bn=False
+        model, params, state.batch_stats, eval_batch, cfg, train_bn=False
     )
     eval_outputs[("embedding",)] = l2_normalize(eval_outputs[("feat4",)])
     if with_lc_embedding:
@@ -256,7 +261,7 @@ def adapt_step(
         # loop_closure_detection.py:41-51)
         _, lc_feat = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
-            online.frame(1),
+            eval_batch.frame(1),
             method=DepthPoseNet.depth_forward,
         )
         eval_outputs[("lc_embedding",)] = l2_normalize(lc_feat)
