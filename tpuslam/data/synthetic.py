@@ -111,6 +111,9 @@ class SyntheticDataset:
         self.inv_K33 = np.linalg.inv(self.K[:3, :3])
         # one extra pose on each side so every center frame has neighbours
         self.global_poses = make_trajectory(num_frames + 2, trajectory, speed, seed)
+        # sequential access renders each frame ~3x (as -1/0/+1 neighbour);
+        # a small LRU of rendered frames removes the redundant ray casts
+        self._render_cache: dict = {}
         self._aug_rng = np.random.default_rng(seed + 1)
         positions = self.global_poses[:, :3, 3]
         steps = np.linalg.norm(np.diff(positions, axis=0), axis=1)
@@ -155,7 +158,12 @@ class SyntheticDataset:
         center = index + 1
         frames, depth0 = [], None
         for off in (-1, 0, 1):
-            img, depth = self.render(self.global_poses[center + off])
+            key = center + off
+            if key not in self._render_cache:
+                if len(self._render_cache) > 8:
+                    self._render_cache.pop(next(iter(self._render_cache)))
+                self._render_cache[key] = self.render(self.global_poses[key])
+            img, depth = self._render_cache[key]
             frames.append(img)
             if off == 0:
                 depth0 = depth
