@@ -39,3 +39,31 @@ def test_batches_from_shapes():
     batches = list(batches_from(ds, 3, rng))
     assert len(batches) == 2  # 7 samples, drop_last
     assert batches[0].rgb.shape == (3, 3, H, W, 3)
+
+
+@pytest.mark.slow
+def test_pretrainer_resume(tmp_path):
+    ds = SyntheticDataset(num_frames=6, height=H, width=W)
+    t1 = Pretrainer(height=H, width=W, scales=(0,), batch_size=3,
+                    log_path=tmp_path, scheduler_step_size=10)
+    t1.train_epoch(ds, progress=False)
+    t1.save()
+    kernel = np.asarray(
+        t1.state.params["depth_decoder"]["dispconv_0_conv"]["kernel"]
+    ).copy()
+
+    t2 = Pretrainer(height=H, width=W, scales=(0,), batch_size=3,
+                    log_path=tmp_path, scheduler_step_size=10)
+    t2.load()
+    assert t2.epoch == 1  # resumes the epoch counter
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.params["depth_decoder"]["dispconv_0_conv"]["kernel"]),
+        kernel,
+    )
+    # optimizer restored: Adam moments are non-zero after the first epoch
+    import jax
+    moments = jax.tree_util.tree_leaves(t2.state.opt_state)
+    assert any(np.abs(np.asarray(m)).sum() > 0 for m in moments if hasattr(m, "shape"))
+    # training continues
+    loss = t2.train_epoch(ds, progress=False)
+    assert np.isfinite(loss) and t2.epoch == 2

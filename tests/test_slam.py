@@ -221,3 +221,31 @@ def test_slam_on_kitti_fixture(tmp_path, rng):
     assert np.isfinite(losses["loss"])
     assert len(slam.depth_error) == 3  # GT depth flowed through
     assert "Abs traj RMSE" in slam.final_report()
+
+
+@pytest.mark.slow
+def test_slam_start_frame_gating(tmp_path):
+    """start_frame > 0 delays mapping: no predicted-graph vertices before it,
+    and the first mapped vertex is pinned to GT (reference slam.py:205-211)."""
+    cfg = _config(tmp_path, start_frame=3)
+    slam = Slam(cfg)
+    slam.step()
+    slam.step()
+    assert slam.pose_graph.vertex_ids == []  # nothing mapped yet
+    slam.step()  # current_step == 3 == start_frame
+    assert slam.pose_graph.vertex_ids == [3]
+    slam.step()
+    assert slam.pose_graph.vertex_ids == [3, 4]
+    # gt graph tracked the whole time
+    assert slam.gt_pose_graph.vertex_ids == [0, 1, 2, 3, 4]
+
+
+@pytest.mark.slow
+def test_slam_mobilenet_embedder(tmp_path):
+    cfg = _config(tmp_path, do_loop_closures=True)
+    cfg.loop_closure.embedder = "mobilenet"
+    slam = Slam(cfg)
+    for _ in range(3):
+        slam.step()
+    assert len(slam.loop_closure_detection) == 3
+    assert slam.loop_closure_detection.index.dim == 576

@@ -187,6 +187,25 @@ class Pretrainer:
             return {}
         return {k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]}
 
+    def load(self, folder: Optional[Path] = None) -> "Pretrainer":
+        """Resume from a checkpoint dir (params, BN stats, optimizer, epoch) —
+        the reference restores the epoch from its LR scheduler state
+        (depth_pose_prediction.py:734-743)."""
+        from tpuslam.checkpoint.io import latest_checkpoint, load_checkpoint
+
+        folder = folder or latest_checkpoint(self.log_path)
+        if folder is None:
+            raise FileNotFoundError(f"no checkpoints under {self.log_path}")
+        params, stats, opt_state, meta = load_checkpoint(
+            folder, self.state.params, self.state.batch_stats, self.state.opt_state
+        )
+        self.state = self.state.replace(
+            params=params, batch_stats=stats,
+            opt_state=opt_state if opt_state is not None else self.state.opt_state,
+        )
+        self.epoch = int(meta.get("epoch", 0))
+        return self
+
     def save(self, config_yaml: Optional[str] = None) -> Path:
         return save_checkpoint(
             self.log_path,
