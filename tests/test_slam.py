@@ -249,3 +249,18 @@ def test_slam_mobilenet_embedder(tmp_path):
         slam.step()
     assert len(slam.loop_closure_detection) == 3
     assert slam.loop_closure_detection.index.dim == 576
+
+
+@pytest.mark.slow
+def test_slam_similarity_sampling_path(tmp_path):
+    """similarity_sampling=True computes the current-frame embedding before
+    the dispatch and draws similarity-weighted replay samples."""
+    cfg = _config(tmp_path)
+    cfg.replay_buffer.similarity_sampling = True
+    cfg.replay_buffer.similarity_threshold = 2.0  # admit everything
+    slam = Slam(cfg)
+    assert slam.replay_buffer.similarity_sampling
+    for _ in range(4):
+        losses = slam.step()
+    assert np.isfinite(losses["loss"])
+    assert len(slam.replay_buffer) >= 3
