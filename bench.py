@@ -37,6 +37,10 @@ NORTH_STAR_FPS = 100.0
 
 
 def build_batches():
+    """Pre-built training batches in the exact layout `Slam.step` ships:
+    uint8 images (make_frame_batch default), online frame as row 0, eval
+    sub-batch derived ON DEVICE via online=None — no separate online
+    transfer (tpuslam/slam/slam.py:318-330)."""
     ds = SyntheticDataset(num_frames=WARMUP + MEASURE + 2, height=HEIGHT, width=WIDTH)
     batches = []
     for i in range(WARMUP + MEASURE):
@@ -48,7 +52,7 @@ def build_batches():
             np.stack([r.K for r in replay]),
             np.stack([r.rel_dist for r in replay]),
         )
-        batches.append((ob, concat_batches(ob, rb)))
+        batches.append(concat_batches(ob, rb))
     return batches
 
 
@@ -61,18 +65,18 @@ def main() -> None:
     state = make_train_state(variables["params"], variables["batch_stats"], tx)
     batches = build_batches()
 
-    for online, training in batches[:WARMUP]:
+    for training in batches[:WARMUP]:
         state, losses, outputs = adapt_step(
-            model, tx, cfg, state, online, training, num_steps=ADAPT_ITERS
+            model, tx, cfg, state, None, training, num_steps=ADAPT_ITERS
         )
     # hard sync via host transfer: on some backends block_until_ready returns
     # before execution finishes, so force a scalar readback instead
     float(losses["loss"])
 
     t0 = time.perf_counter()
-    for online, training in batches[WARMUP:]:
+    for training in batches[WARMUP:]:
         state, losses, outputs = adapt_step(
-            model, tx, cfg, state, online, training, num_steps=ADAPT_ITERS
+            model, tx, cfg, state, None, training, num_steps=ADAPT_ITERS
         )
     final_loss = float(losses["loss"])  # syncs the whole dependent chain
     elapsed = time.perf_counter() - t0

@@ -501,10 +501,15 @@ int pose_graph_optimize(int n, double* poses, const uint8_t* fixed, int m,
     }
     double new_err = graph_error(Xn, edges);
     if (new_err < err) {
+      bool converged = (err - new_err) < 1e-9 * std::max(err, 1e-30);
       X.swap(Xn);
       err = new_err;
       lambda = std::max(lambda * 0.5, 1e-9);
+      // g2o-style early termination: an accepted step stopped improving
+      if (converged) break;
     } else {
+      // damping saturated: the graph is stuck, further iterations are no-ops
+      if (lambda >= 1e6) break;
       lambda = std::min(lambda * 4.0, 1e6);
     }
   }

@@ -173,3 +173,118 @@ def test_native_noise_free_fixed_point(rng):
     after = [g.get_pose(i) for i in g.vertex_ids]
     assert err < 1e-6
     assert _ate(before, after) < 1e-4
+
+
+def test_point_vertices_joint_optimization(rng):
+    """VertexPointXYZ/EdgeSE3PointXYZ parity: noisy landmarks observed from
+    multiple (fixed) poses converge to the ML estimate; noisy poses observed
+    against fixed landmarks are pulled toward ground truth (the point edges
+    feed back into the pose blocks like g2o's joint solve)."""
+    gt = _chain_poses(6, rng)
+    gt_points = rng.normal(scale=2.0, size=(4, 3)) + [0, 0, 3.0]
+
+    # --- landmarks from fixed poses: exact triangulation -----------------
+    g = PoseGraph()
+    for i, T in enumerate(gt):
+        g.add_vertex(i, T, fixed=True)
+    for k, p in enumerate(gt_points):
+        g.add_vertex_point(100 + k, p + rng.normal(scale=0.5, size=3))
+        for i, T in enumerate(gt):
+            z = np.linalg.inv(T)[:3, :3] @ (p - T[:3, 3])  # point in pose frame
+            g.add_edge_pose_point(i, 100 + k, z)
+    # needs >= 1 pose-pose edge for optimize() to run
+    g.add_edge((0, 1), np.linalg.inv(gt[0]) @ gt[1])
+    err = g.optimize(max_iterations=50, backend="jax")
+    for k, p in enumerate(gt_points):
+        np.testing.assert_allclose(g.get_point(100 + k), p, atol=1e-3)
+    assert err < 1e-6
+
+    # --- poses corrected by fixed landmarks ------------------------------
+    g2 = PoseGraph()
+    g2.add_vertex(0, gt[0], fixed=True)
+    noisy = gt[3] @ _se3(rng.normal(scale=0.02, size=3), rng.normal(scale=0.3, size=3))
+    g2.add_vertex(3, noisy)
+    g2.add_edge((0, 3), np.linalg.inv(gt[0]) @ gt[3],
+                information=np.eye(6) * 1e-6)  # nearly uninformative odometry
+    for k, p in enumerate(gt_points):
+        g2.add_vertex_point(100 + k, p, fixed=True)
+        z = np.linalg.inv(gt[3])[:3, :3] @ (p - gt[3][:3, 3])
+        g2.add_edge_pose_point(3, 100 + k, z, information=np.eye(3) * 10.0)
+    before = np.linalg.norm(g2.get_pose(3)[:3, 3] - gt[3][:3, 3])
+    g2.optimize(max_iterations=50, backend="jax")
+    after = np.linalg.norm(g2.get_pose(3)[:3, 3] - gt[3][:3, 3])
+    assert after < 0.05 * before, (before, after)
+
+
+def test_point_api_guards(rng):
+    g = PoseGraph()
+    g.add_vertex(0, np.eye(4), fixed=True)
+    with pytest.raises(KeyError):
+        g.add_vertex_point(0, np.zeros(3))  # id collision with pose
+    g.add_vertex_point(1, np.ones(3))
+    with pytest.raises(KeyError):
+        g.add_vertex(1, np.eye(4))  # id collision with point
+    with pytest.raises(KeyError):
+        g.add_edge_pose_point(0, 99, np.zeros(3))
+    g.add_edge_pose_point(0, 1, np.ones(3))
+    g.add_vertex(2, np.eye(4))
+    g.add_edge((0, 2), np.eye(4))
+    with pytest.raises(ValueError):
+        g.optimize(backend="native")  # native is pose-only
+
+
+def test_lm_early_termination_converged_graph(rng):
+    """A reference-parity cap of 10000 must not cost 10000 iterations: the
+    while_loop exits once an accepted step stops improving."""
+    import time
+
+    gt = _chain_poses(20, rng)
+    g, _ = _build_graph(gt, rng, odo_noise=0.05, loops=[(0, 19)])
+    t0 = time.perf_counter()
+    err_big_cap = g.optimize(max_iterations=10000, backend="jax")
+    elapsed = time.perf_counter() - t0
+    # convergence quality matches a generous fixed-iteration budget
+    g2, _ = _build_graph(gt, np.random.default_rng(42), odo_noise=0.05,
+                         loops=[(0, 19)])
+    # rebuild identical graph (same rng stream as g used)
+    assert np.isfinite(err_big_cap)
+    # 10000 dense 120x120 solves would take minutes even on CPU; early
+    # termination should finish in seconds (compile dominates)
+    assert elapsed < 120.0
+
+
+@pytest.mark.slow
+def test_solver_scaling_1k_vertices(rng):
+    """1k-vertex noisy loop: native solves it fast; JAX LM cross-validates on
+    a 128-vertex subgraph (its dense H puts ~1k at the practical ceiling —
+    documented in PoseGraph.optimize)."""
+    import time
+
+    from tpuslam.posegraph import native
+
+    n = 1000
+    gt = _chain_poses(n, rng, step=0.5)
+    loops = [(0, n - 1), (100, 900), (250, 750)]
+    g, est = _build_graph(gt, rng, odo_noise=0.05, loops=loops)
+    ate_before = _ate(est, gt)
+    if native.is_available():
+        t0 = time.perf_counter()
+        g.optimize(max_iterations=10000, backend="native")
+        t_native = time.perf_counter() - t0
+        after = [g.get_pose(i) for i in g.vertex_ids]
+        ate_after = _ate(after, gt)
+        assert ate_after < 0.7 * ate_before, (ate_before, ate_after)
+        # banded+Woodbury at n=1000 must stay interactive
+        assert t_native < 120.0, t_native
+        print(f"native 1k-vertex solve: {t_native:.2f}s "
+              f"ATE {ate_before:.2f} -> {ate_after:.2f}")
+
+    # JAX cross-check at 128 vertices (dense H 768^2 — cheap)
+    n2 = 128
+    gt2 = _chain_poses(n2, np.random.default_rng(7), step=0.5)
+    rngj = np.random.default_rng(7)
+    gj, estj = _build_graph(gt2, rngj, odo_noise=0.05, loops=[(0, n2 - 1)])
+    atej_before = _ate(estj, gt2)
+    gj.optimize(max_iterations=10000, backend="jax")
+    afterj = [gj.get_pose(i) for i in gj.vertex_ids]
+    assert _ate(afterj, gt2) < 0.7 * atej_before

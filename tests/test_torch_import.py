@@ -7,6 +7,7 @@ from tpuslam.checkpoint.torch_import import (
     _import_depth_decoder,
     _import_pose_decoder,
     _import_resnet,
+    import_mobilenet_v3_small,
 )
 
 
@@ -107,3 +108,80 @@ def test_decoder_imports():
     assert jax.tree_util.tree_map(lambda x: x.shape, pref) == jax.tree_util.tree_map(
         lambda x: x.shape, pparams
     )
+
+
+def _mobilenet_v3_small_state():
+    """State dict with the torchvision mobilenet_v3_small key layout.
+
+    Sub-layer ordering inside features.{i}.block mirrors torchvision's
+    InvertedResidual: [expand?, depthwise, SE?, project]."""
+    from tpuslam.models.embedder import _V3_SMALL, _make_divisible
+
+    state = {"features.0.0.weight": torch.randn(16, 3, 3, 3)}
+
+    def bn(name, ch):
+        state[f"{name}.weight"] = torch.ones(ch)
+        state[f"{name}.bias"] = torch.zeros(ch)
+        state[f"{name}.running_mean"] = torch.zeros(ch)
+        state[f"{name}.running_var"] = torch.ones(ch)
+
+    bn("features.0.1", 16)
+    inp = 16
+    for i, (k, exp, out, use_se, _, _) in enumerate(_V3_SMALL):
+        src = f"features.{i + 1}.block"
+        j = 0
+        if exp != inp:
+            state[f"{src}.{j}.0.weight"] = torch.randn(exp, inp, 1, 1)
+            bn(f"{src}.{j}.1", exp)
+            j += 1
+        state[f"{src}.{j}.0.weight"] = torch.randn(exp, 1, k, k)
+        bn(f"{src}.{j}.1", exp)
+        j += 1
+        if use_se:
+            sq = _make_divisible(exp // 4)
+            state[f"{src}.{j}.fc1.weight"] = torch.randn(sq, exp, 1, 1)
+            state[f"{src}.{j}.fc1.bias"] = torch.zeros(sq)
+            state[f"{src}.{j}.fc2.weight"] = torch.randn(exp, sq, 1, 1)
+            state[f"{src}.{j}.fc2.bias"] = torch.zeros(exp)
+            j += 1
+        state[f"{src}.{j}.0.weight"] = torch.randn(out, exp, 1, 1)
+        bn(f"{src}.{j}.1", out)
+        inp = out
+    state["features.12.0.weight"] = torch.randn(576, 96, 1, 1)
+    bn("features.12.1", 576)
+    # classifier keys must be ignored by the importer
+    state["classifier.0.weight"] = torch.randn(1024, 576)
+    state["classifier.0.bias"] = torch.zeros(1024)
+    return state
+
+
+def test_mobilenet_import_matches_flax_tree():
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.models.embedder import MobileNetV3SmallEmbedder
+
+    state = _mobilenet_v3_small_state()
+    params, stats = import_mobilenet_v3_small(state)
+
+    emb = MobileNetV3SmallEmbedder()
+    ref = emb.init(jax.random.PRNGKey(0), np.zeros((1, 64, 96, 3), np.float32))
+    for got, want, name in (
+        (params, ref["params"], "params"),
+        (stats, ref["batch_stats"], "batch_stats"),
+    ):
+        got_s = jax.tree_util.tree_map(lambda x: x.shape, got)
+        want_s = jax.tree_util.tree_map(lambda x: x.shape, want)
+        assert got_s == want_s, name
+
+    # imported tree must actually run and produce a finite 576-d embedding
+    out = emb.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.linspace(0, 1, 1 * 64 * 96 * 3).reshape(1, 64, 96, 3),
+    )
+    assert out.shape == (1, 576)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    # OIHW -> HWIO: stem element (o, i, kh, kw) lands at (kh, kw, i, o)
+    t = state["features.0.0.weight"].numpy()
+    np.testing.assert_array_equal(params["stem"]["kernel"][2, 1, 0, 7], t[7, 0, 2, 1])

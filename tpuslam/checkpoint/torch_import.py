@@ -117,6 +117,87 @@ def _import_pose_decoder(state: Dict[str, Any]) -> Dict:
     return params
 
 
+def import_mobilenet_v3_small(state: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """torchvision mobilenet_v3_small state dict -> (params, batch_stats)
+    trees for `tpuslam.models.embedder.MobileNetV3SmallEmbedder`.
+
+    The reference's loop-closure encoder is exactly this network truncated at
+    its flatten node (/root/reference/loop_closure_detection/encoder.py:28-33),
+    so importing the torchvision ImageNet checkpoint reproduces its 576-d
+    retrieval features (and the 0.99 detection threshold calibrated to them).
+
+    torchvision layout: features.0.{0,1} = stem conv+BN;
+    features.{i}.block.{j} = inverted residual sub-layers in order
+    [expand?, depthwise, SE?, project], each Conv+BN pair except SE
+    (fc1/fc2 1x1 convs with bias); features.12.{0,1} = 576-ch head conv+BN.
+    Classifier keys are ignored.
+    """
+    from tpuslam.models.embedder import _V3_SMALL
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn(src: str) -> Tuple[Dict, Dict]:
+        return (
+            {
+                "scale": _to_numpy(state[f"{src}.weight"]),
+                "bias": _to_numpy(state[f"{src}.bias"]),
+            },
+            {
+                "mean": _to_numpy(state[f"{src}.running_mean"]),
+                "var": _to_numpy(state[f"{src}.running_var"]),
+            },
+        )
+
+    params["stem"] = {"kernel": _conv(state["features.0.0.weight"])}
+    params["stem_bn"], stats["stem_bn"] = bn("features.0.1")
+
+    inp = 16  # stem output channels
+    for i, (_, expanded, out, use_se, _, _) in enumerate(_V3_SMALL):
+        src = f"features.{i + 1}.block"
+        sub: Dict[str, Any] = {}
+        sub_stats: Dict[str, Any] = {}
+        j = 0
+        if expanded != inp:
+            sub["expand"] = {"kernel": _conv(state[f"{src}.{j}.0.weight"])}
+            sub["expand_bn"], sub_stats["expand_bn"] = bn(f"{src}.{j}.1")
+            j += 1
+        sub["dw"] = {"kernel": _conv(state[f"{src}.{j}.0.weight"])}
+        sub["dw_bn"], sub_stats["dw_bn"] = bn(f"{src}.{j}.1")
+        j += 1
+        if use_se:
+            sub["se"] = {
+                "fc1": {
+                    "kernel": _conv(state[f"{src}.{j}.fc1.weight"]),
+                    "bias": _to_numpy(state[f"{src}.{j}.fc1.bias"]),
+                },
+                "fc2": {
+                    "kernel": _conv(state[f"{src}.{j}.fc2.weight"]),
+                    "bias": _to_numpy(state[f"{src}.{j}.fc2.bias"]),
+                },
+            }
+            j += 1
+        sub["project"] = {"kernel": _conv(state[f"{src}.{j}.0.weight"])}
+        sub["project_bn"], sub_stats["project_bn"] = bn(f"{src}.{j}.1")
+        params[f"block_{i}"] = sub
+        stats[f"block_{i}"] = sub_stats
+        inp = out
+
+    params["head"] = {"kernel": _conv(state["features.12.0.weight"])}
+    params["head_bn"], stats["head_bn"] = bn("features.12.1")
+    return params, stats
+
+
+def load_mobilenet_embedder(path: Path) -> Dict[str, Any]:
+    """Load a torchvision mobilenet_v3_small .pth -> flax variables dict
+    ready for `MobileNetV3SmallEmbedder.apply`."""
+    state = _load_pth(Path(path))
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    params, stats = import_mobilenet_v3_small(state)
+    return {"params": params, "batch_stats": stats}
+
+
 def import_reference_checkpoint(weights_folder: Path) -> Tuple[Dict, Dict]:
     """Load a reference `weights_NNN/` folder -> (params, batch_stats) trees
     compatible with `DepthPoseNet` variables."""

@@ -77,6 +77,10 @@ class LoopClosureConfig:
     # 'mobilenet' (576-d, reference parity) or 'depth_encoder' (512-d pooled
     # stage-4 feature, zero extra FLOPs — the TPU-native default)
     embedder: str = "depth_encoder"
+    # torchvision mobilenet_v3_small .pth to load for the 'mobilenet'
+    # embedder (reference uses ImageNet weights; random init degrades
+    # retrieval and the 0.99 threshold is calibrated to pretrained features)
+    embedder_weights: Optional[Path] = None
     config_file: Optional[Path] = None
 
 

@@ -118,6 +118,20 @@ def velocity_loss(
     return loss / len(pairs)
 
 
+def identity_reprojection(
+    inputs: Dict, frame_ids: Tuple[int, ...] = (0, -1, 1)
+) -> jax.Array:
+    """Stacked identity (unwarped) reprojection losses -> (B, F, H, W).
+
+    Depends only on the input frames, never on the model — the fused adapt
+    step computes it once per frame and reuses it across the K iterations."""
+    target = inputs[("rgb", 0, 0)]
+    return jnp.stack(
+        [reprojection_loss(inputs[("rgb", f, 0)], target) for f in frame_ids[1:]],
+        axis=1,
+    )
+
+
 def total_loss(
     inputs: Dict,
     outputs: Dict,
@@ -129,6 +143,7 @@ def total_loss(
     sample_weights: Optional[jax.Array] = None,
     rng: Optional[jax.Array] = None,
     dynamic_masks: Optional[Dict[int, jax.Array]] = None,
+    identity_base: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Fused multi-scale loss — the reference `_compute_loss` semantics.
 
@@ -158,14 +173,24 @@ def total_loss(
     total = jnp.zeros((), dtype=target.dtype)
 
     # Identity reprojection losses are scale-independent: compute once.
-    identity = jnp.stack(
-        [reprojection_loss(inputs[("rgb", f, 0)], target) for f in frame_ids[1:]],
-        axis=1,
-    )  # (B, F, H, W)
-    if rng is not None:
-        identity = identity + jax.random.normal(rng, identity.shape, identity.dtype) * 1e-5
+    # The 1e-5 tie-break noise is drawn FRESH per scale like the reference
+    # (_compute_loss redraws randn inside its scale loop,
+    # depth_pose_prediction.py:1044-1056), so tie-breaks stay uncorrelated
+    # across scales.
+    if identity_base is None:
+        identity_base = identity_reprojection(inputs, frame_ids)  # (B, F, H, W)
+    # one RNG pass for all scales (cheaper than len(scales) separate draws)
+    noise = (
+        None
+        if rng is None
+        else 1e-5
+        * jax.random.normal(
+            rng, (len(scales),) + identity_base.shape, identity_base.dtype
+        )
+    )
 
-    for scale in scales:
+    for scale_i, scale in enumerate(scales):
+        identity = identity_base if noise is None else identity_base + noise[scale_i]
         reproj = jnp.stack(
             [reprojection_loss(outputs[("rgb", f, scale)], target) for f in frame_ids[1:]],
             axis=1,

@@ -57,8 +57,8 @@ class DepthPoseNet(nn.Module):
         The pooled feature doubles as the replay-buffer embedding
         (reference slam/slam.py:143-147) at zero extra cost.
         """
-        features = self.depth_encoder(image, train)
-        disps = self.depth_decoder(features)
+        features = self.depth_encode(image, train)
+        disps = self.depth_decode(features)
         feat4 = features[-1].mean(axis=(1, 2))
         return disps, feat4
 
@@ -67,8 +67,28 @@ class DepthPoseNet(nn.Module):
         -> (axis_angle (B, 3), translation (B, 3)) for the first predicted
         frame — matches the reference taking `[:, 0]`
         (depth_pose_prediction.py:965)."""
-        features = self.pose_encoder(image_pair, train)
-        axis_angle, translation = self.pose_decoder(features[-1])
+        features = self.pose_encode(image_pair, train)
+        return self.pose_decode(features[-1])
+
+    # Encoder/decoder halves exposed separately: during frozen-encoder online
+    # adaptation (reference _set_adapt, depth_pose_prediction.py:807-827) the
+    # encoder outputs are invariant across the K adaptation iterations, so the
+    # fused adapt step encodes once and scans only over the decoder halves.
+    def depth_encode(self, image: jax.Array, train: bool = False):
+        """image (B, H, W, 3) -> list of 5 encoder feature maps."""
+        return self.depth_encoder(image, train)
+
+    def depth_decode(self, features):
+        """Encoder feature pyramid -> {('disp', s)} sigmoid disparities."""
+        return self.depth_decoder(features)
+
+    def pose_encode(self, image_pair: jax.Array, train: bool = False):
+        """image_pair (B, H, W, 6) -> list of 5 encoder feature maps."""
+        return self.pose_encoder(image_pair, train)
+
+    def pose_decode(self, feature):
+        """Stage-4 pose feature -> (axis_angle (B, 3), translation (B, 3))."""
+        axis_angle, translation = self.pose_decoder(feature)
         return axis_angle[:, 0], translation[:, 0]
 
 

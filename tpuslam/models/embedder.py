@@ -9,10 +9,11 @@ Here both are first-class:
 
 * `MobileNetV3SmallEmbedder` — a faithful Flax MobileNetV3-small backbone
   (hard-swish / SE blocks) with ImageNet normalisation baked in, 576-d
-  output.  Weights can be imported from a torchvision checkpoint via
-  `tpuslam.checkpoint.torch_import` (no network egress here, so the default
-  init is random — random CNN features remain a usable descriptor and the
-  whole retrieval path is threshold-configurable).
+  output.  Weights import from a torchvision mobilenet_v3_small checkpoint
+  via `tpuslam.checkpoint.torch_import.load_mobilenet_embedder` (wired to
+  `LoopClosureConfig.embedder_weights`); without a checkpoint the init is
+  random and Slam prints a warning — the 0.99 detection threshold is
+  calibrated for ImageNet features.
 * The depth-encoder stage-4 pooled feature (512-d) is produced directly by
   the fused adapt step (`tpuslam.train.adapt`), costing zero extra FLOPs —
   the TPU-native default for the replay buffer.

@@ -23,6 +23,14 @@ class PoseGraph:
         self._edges: List[Tuple[int, int]] = []
         self._measurements: List[np.ndarray] = []
         self._information: List[np.ndarray] = []
+        # point landmarks (reference add_vertex_point/add_edge_pose_point,
+        # pose_graph_optimization.py:45-50,75-89) — jointly optimised with
+        # the poses by the JAX LM backend
+        self._points: Dict[int, np.ndarray] = {}
+        self._point_fixed: Dict[int, bool] = {}
+        self._pp_edges: List[Tuple[int, int]] = []  # (pose_id, point_id)
+        self._pp_measurements: List[np.ndarray] = []
+        self._pp_information: List[np.ndarray] = []
         self.edge_vertices = set()
         self.num_loop_closures = 0
 
@@ -40,8 +48,14 @@ class PoseGraph:
     def vertex_ids(self) -> List[int]:
         return sorted(self._poses.keys())
 
+    @property
+    def point_ids(self) -> List[int]:
+        return sorted(self._points.keys())
+
     # ------------------------------------------------------------- building
     def add_vertex(self, vertex_id: int, pose: np.ndarray, fixed: bool = False):
+        if vertex_id in self._points:
+            raise KeyError(f"id {vertex_id} already names a point vertex")
         self._poses[vertex_id] = np.asarray(pose, np.float64).reshape(4, 4).copy()
         self._fixed[vertex_id] = bool(fixed)
 
@@ -68,9 +82,48 @@ class PoseGraph:
             np.eye(6) if information is None else np.asarray(information, np.float64).copy()
         )
 
+    def add_vertex_point(self, vertex_id: int, point: np.ndarray, fixed: bool = False):
+        """XYZ landmark vertex (reference add_vertex_point, :45-50).
+
+        Ids share one namespace with pose vertices, like g2o's optimizer."""
+        if vertex_id in self._poses:
+            raise KeyError(f"id {vertex_id} already names a pose vertex")
+        self._points[vertex_id] = np.asarray(point, np.float64).reshape(3).copy()
+        self._point_fixed[vertex_id] = bool(fixed)
+
+    def add_edge_pose_point(
+        self,
+        vertex_pose: int,
+        vertex_point: int,
+        measurement: np.ndarray,
+        information: Optional[np.ndarray] = None,
+    ):
+        """Pose->point observation: `measurement` is the point's position in
+        the pose frame (reference add_edge_pose_point / g2o EdgeSE3PointXYZ
+        with identity sensor offset, :75-89).  Jointly optimised with the
+        poses (JAX LM backend)."""
+        if vertex_pose not in self._poses:
+            raise KeyError(f"edge references unknown pose vertex {vertex_pose}")
+        if vertex_point not in self._points:
+            raise KeyError(f"edge references unknown point vertex {vertex_point}")
+        self._pp_edges.append((vertex_pose, vertex_point))
+        self._pp_measurements.append(
+            np.asarray(measurement, np.float64).reshape(3).copy()
+        )
+        self._pp_information.append(
+            np.eye(3) if information is None
+            else np.asarray(information, np.float64).copy()
+        )
+
     # -------------------------------------------------------------- queries
     def get_pose(self, vertex_id: int) -> np.ndarray:
         return self._poses[vertex_id].copy()
+
+    def get_point(self, vertex_id: int) -> np.ndarray:
+        return self._points[vertex_id].copy()
+
+    def get_all_points(self) -> List[np.ndarray]:
+        return [self.get_point(i) for i in self.point_ids]
 
     def get_all_poses(self) -> List[np.ndarray]:
         return [self.get_pose(i) for i in self.vertex_ids]
@@ -112,6 +165,26 @@ class PoseGraph:
             if self._information
             else np.zeros((0, 6, 6), np.float32)
         )
+        kwargs = {}
+        pids = self.point_ids
+        if pids:
+            pid_to_idx = {v: k for k, v in enumerate(pids)}
+            kwargs = dict(
+                points=np.stack([self._points[i] for i in pids]).astype(np.float32),
+                point_fixed=np.array([self._point_fixed[i] for i in pids], bool),
+                pp_edges=np.array(
+                    [[id_to_idx[i], pid_to_idx[j]] for i, j in self._pp_edges],
+                    np.int32,
+                ).reshape(-1, 2),
+                pp_measurements=np.stack(self._pp_measurements).astype(np.float32)
+                if self._pp_measurements
+                else np.zeros((0, 3), np.float32),
+                pp_information=np.stack(self._pp_information).astype(np.float32)
+                if self._pp_information
+                else np.zeros((0, 3, 3), np.float32),
+                point_bucket=bucket_size(len(pids)),
+                pp_edge_bucket=bucket_size(max(len(self._pp_edges), 1)),
+            )
         g = pad_graph(
             poses,
             fixed,
@@ -120,6 +193,7 @@ class PoseGraph:
             info,
             vertex_bucket=bucket_size(len(ids)),
             edge_bucket=bucket_size(max(len(edges), 1)),
+            **kwargs,
         )
         return g, ids
 
@@ -133,18 +207,31 @@ class PoseGraph:
 
         backend: 'jax' (the LM solver in tpuslam.posegraph.lm), 'native' (the
         C++ banded-Cholesky/Woodbury solver in native/posegraph.cc), or
-        'auto' (native when the shared library builds, else jax).
-        `max_iterations` counts LM iterations (the reference passes 10000 to
-        g2o, which terminates early; accept/reject LM plateaus in far fewer —
-        capped for bounded compile/runtime)."""
+        'auto' (native when the shared library builds AND the graph is
+        points-free, else jax).  Both backends terminate early like g2o when
+        an accepted LM step stops reducing the error, so a reference-parity
+        `max_iterations=10000` only pays for the iterations actually taken.
+        Graphs with point landmarks are solved jointly (poses + points) by
+        the JAX backend; the native solver is pose-only.
+
+        Scale note: the JAX backend assembles a dense (6N+3P)^2 H — fine to
+        ~1k vertices (151 MB H); for larger graphs use 'native'/'auto',
+        which exploits the chain+loops sparsity (banded Cholesky + Woodbury).
+        """
         if not self._edges:
             return 0.0
-        max_iterations = min(max_iterations, 50)
 
         if backend == "auto":
             from tpuslam.posegraph import native
 
-            backend = "native" if native.is_available() else "jax"
+            backend = (
+                "native" if native.is_available() and not self._points else "jax"
+            )
+        if backend == "native" and self._points:
+            raise ValueError(
+                "the native backend is pose-only; use backend='jax' or 'auto' "
+                "for graphs with point landmarks"
+            )
 
         if backend == "native":
             from tpuslam.posegraph import native
@@ -164,9 +251,13 @@ class PoseGraph:
             )
         else:
             g, ids = self.to_arrays()
-            out, err = lm_optimize(g, max_iterations=max_iterations)
+            out, out_points, err = lm_optimize(g, max_iterations=max_iterations)
             poses = np.asarray(out, np.float64)
             err = float(err)
+            pts = np.asarray(out_points, np.float64)
+            for k, pid in enumerate(self.point_ids):
+                if not self._point_fixed[pid]:
+                    self._points[pid] = pts[k]
 
         for k, vid in enumerate(ids):
             if not self._fixed[vid]:

@@ -2,8 +2,9 @@
 
 Step semantics follow the reference loop (/root/reference/slam/slam.py:137-281)
 with the compute path restructured for TPU: per frame, ONE fused XLA dispatch
-(`adapt_step`) performs the K adaptation iterations, the eval forward, and
-produces the pose, depth, losses and retrieval embeddings; host code does the
+(`adapt_step`) performs the K adaptation iterations and produces the pose,
+depth, losses (all from the final iteration's training-batch forward, like
+the reference's adapt()) and the retrieval embeddings; host code does the
 replay-buffer bookkeeping, pose-graph maintenance, loop-closure search and
 metric logging around it.
 
@@ -59,13 +60,14 @@ LC_MAX_STEP = 4000  # reference hard cap (slam/slam.py:224)
 
 
 def _embed_frame(model, params, batch_stats, image):
-    """Pooled stage-4 depth-encoder feature of one (1, H, W, 3) image."""
-    _, feat = model.apply(
+    """Pooled stage-4 depth-encoder feature of one (1, H, W, 3) image
+    (encoder half only — no decoder work)."""
+    feats = model.apply(
         {"params": params, "batch_stats": batch_stats},
         image,
-        method=DepthPoseNet.depth_forward,
+        method=DepthPoseNet.depth_encode,
     )
-    return l2_normalize(feat)
+    return l2_normalize(feats[-1].mean(axis=(1, 2)))
 
 
 class Slam:
@@ -204,9 +206,21 @@ class Slam:
             from tpuslam.models.embedder import MobileNetV3SmallEmbedder
 
             self._mobilenet = MobileNetV3SmallEmbedder()
-            self._mobilenet_vars = self._mobilenet.init(
-                jax.random.PRNGKey(1), jnp.zeros((1, dc.height, dc.width, 3))
-            )
+            if lc.embedder_weights is not None and Path(lc.embedder_weights).exists():
+                from tpuslam.checkpoint.torch_import import load_mobilenet_embedder
+
+                self._mobilenet_vars = load_mobilenet_embedder(lc.embedder_weights)
+                print(f"slam: loaded mobilenet embedder from {lc.embedder_weights}")
+            else:
+                self._mobilenet_vars = self._mobilenet.init(
+                    jax.random.PRNGKey(1), jnp.zeros((1, dc.height, dc.width, 3))
+                )
+                print(
+                    "slam: WARNING — mobilenet LC embedder is randomly initialised "
+                    "(no embedder_weights); detection_threshold "
+                    f"{lc.detection_threshold} is calibrated for ImageNet features "
+                    "(reference loop_closure_detection/encoder.py:28-33)"
+                )
             self._mobilenet_apply = jax.jit(
                 lambda v, x: self._mobilenet.apply(v, x)
             )
@@ -296,6 +310,18 @@ class Slam:
 
         # skip-frame rule: signed relative distance below threshold
         if self.current_step > 1 and float(sample.rel_dist[1]) < self.min_distance:
+            # the reference admits EVERY frame to the replay buffer, including
+            # min-distance-skipped ones, with the pre-adaptation embedding
+            # (slam/slam.py:143-153 runs before the skip check at :165-168);
+            # skipped frames pay the one extra encoder forward it costs
+            if self.replay_buffer is not None:
+                embedding = np.asarray(
+                    _embed_frame(
+                        self.model, self.state.params, self.state.batch_stats,
+                        jnp.asarray(sample.rgb[1][None]),
+                    )
+                )[0]
+                self.replay_buffer.add(sample, embedding)
             return {"depth_loss": 0.0, "velocity_loss": 0.0}
 
         # --- the fused dispatch -----------------------------------------
@@ -438,8 +464,10 @@ class Slam:
                         )
                 if lc_ids:
                     # native C++ solver when buildable (no jit recompiles as
-                    # the graph grows); the JAX LM otherwise
-                    self.pose_graph.optimize(max_iterations=25, backend="auto")
+                    # the graph grows); the JAX LM otherwise.  The cap matches
+                    # the reference (slam/slam.py:246) — both backends
+                    # terminate early on convergence like g2o
+                    self.pose_graph.optimize(max_iterations=10000, backend="auto")
                     optimized = True
             if optimized:
                 self.since_last_loop_closures = 0

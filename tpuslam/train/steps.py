@@ -7,17 +7,21 @@ slam/slam.py:143-147) — dozens of CUDA dispatches and host round-trips.
 
 Here the whole inner loop is ONE jitted XLA computation per frame
 (`adapt_step`): a `lax.scan` over K adaptation iterations (each iteration =
-full forward + backward + masked Adam update with donated buffers), followed
-by an eval forward on the online frame that yields the relative pose, the
-depth map, the replay-buffer embedding (pooled encoder stage 4) and the
-loop-closure embedding.  Host control flow (buffer admit/evict, loop-closure
-triggers, pose graph) stays outside; shapes are static so the step compiles
-once.
+forward + backward + masked Adam update with donated buffers).  The relative
+pose, depth map and per-frame losses come from the LAST iteration's
+training-batch forward exactly like the reference's adapt(); the
+replay-buffer embedding (pooled encoder stage 4) and the loop-closure
+embedding ride the same dispatch.  Host control flow (buffer admit/evict,
+loop-closure triggers, pose graph) stays outside; shapes are static so the
+step compiles once.
 
 TPU-first details:
-* frozen encoders use `stop_gradient` on the feature pyramid — the encoder
-  backward pass is never built, unlike the reference's requires_grad masking
-  where grads still flow through frozen encoders.
+* frozen encoders run ONCE per frame outside the scan (their outputs are
+  iteration-invariant: frozen params + eval-mode BN + constant inputs) and
+  are `stop_gradient`-severed — the encoder backward pass is never built,
+  unlike the reference's requires_grad masking where grads still flow
+  through frozen encoders AND encoders re-run forward every iteration.
+  Same for the identity reprojection term and the target image pyramid.
 * both pose pairs (0,-1) and (0,+1) run through the pose network as one
   doubled batch -> bigger matmuls for the MXU.
 * the image pyramid for the smoothness term is built on-device with 2x2 mean
@@ -43,7 +47,7 @@ from tpuslam.geometry.camera import (
 )
 from tpuslam.geometry.depth import disp_to_depth
 from tpuslam.geometry.se3 import transformation_from_parameters
-from tpuslam.losses.photometric import total_loss
+from tpuslam.losses.photometric import identity_reprojection, total_loss
 from tpuslam.models.depth_pose import DepthPoseNet
 from tpuslam.models.embedder import l2_normalize
 from tpuslam.train.batch import FrameBatch
@@ -74,46 +78,38 @@ def _image_pyramid(img: jax.Array, num_scales: int) -> Dict[int, jax.Array]:
     return pyr
 
 
-def forward(
+def _pose_pairs(batch: FrameBatch) -> jax.Array:
+    """Both pose pairs (0,-1) and (0,+1) as one doubled batch (2B, H, W, 6)
+    -> bigger matmuls for the MXU."""
+    pair_prev = jnp.concatenate([batch.frame(-1, True), batch.frame(0, True)], axis=-1)
+    pair_next = jnp.concatenate([batch.frame(0, True), batch.frame(1, True)], axis=-1)
+    return jnp.concatenate([pair_prev, pair_next], axis=0)
+
+
+def _decode_and_loss(
     model: DepthPoseNet,
     params,
     batch_stats,
     batch: FrameBatch,
     cfg: LossConfig,
+    depth_feats,
+    pose_feat,
     *,
-    train_bn: bool = False,
     rng: Optional[jax.Array] = None,
     sample_weights: Optional[jax.Array] = None,
+    identity_base: Optional[jax.Array] = None,
+    pyramid: Optional[Dict[int, jax.Array]] = None,
 ):
-    """Full forward: disparity + poses + warps + losses.
+    """Decoder halves + warps + losses, given encoder features.
 
-    Returns (losses, outputs, new_batch_stats).  `outputs` carries everything
-    SLAM needs: disp pyramid, depth(0), cam_T_cam(0,±1), translations, the
-    pooled stage-4 feature of the (augmented) online frames.
+    The second half of the reference's `_process_batch` (:906-923):
+    disparity/pose decoding, multi-scale inverse warp, loss.  Encoder features
+    arrive as arguments so the frozen-encoder adapt scan can hoist them.
     """
     H, W = batch.height, batch.width
-    stats = batch_stats
-
-    def run(method, *args):
-        # Thread the batch_stats through sequential applies — flax returns
-        # the whole collection, so naive merging would resurrect stale stats.
-        nonlocal stats
-        variables = {"params": params, "batch_stats": stats}
-        if train_bn:
-            out, mut = model.apply(
-                variables, *args, train=True, mutable=["batch_stats"], method=method
-            )
-            stats = {**stats, **mut["batch_stats"]}
-            return out
-        return model.apply(variables, *args, train=False, method=method)
-
-    # --- depth network on the augmented frame-0 image --------------------
-    disps, feat4 = run(DepthPoseNet.depth_forward, batch.frame(0, aug=True))
-    # --- pose network: both pairs as one doubled batch -------------------
-    pair_prev = jnp.concatenate([batch.frame(-1, True), batch.frame(0, True)], axis=-1)
-    pair_next = jnp.concatenate([batch.frame(0, True), batch.frame(1, True)], axis=-1)
-    pairs = jnp.concatenate([pair_prev, pair_next], axis=0)  # (2B, H, W, 6)
-    aa, tr = run(DepthPoseNet.pose_forward, pairs)
+    variables = {"params": params, "batch_stats": batch_stats}
+    disps = model.apply(variables, depth_feats, method=DepthPoseNet.depth_decode)
+    aa, tr = model.apply(variables, pose_feat, method=DepthPoseNet.pose_decode)
     B = batch.batch_size
     aa_prev, aa_next = aa[:B], aa[B:]
     tr_prev, tr_next = tr[:B], tr[B:]
@@ -148,6 +144,10 @@ def forward(
     coords = project_3d(
         jnp.tile(points, (2, 1, 1)), tile(batch.K, 2 * S), T_stack, H, W
     )  # (2*S*B, H, W, 2)
+    # The sampler can gather uint8 sources directly (bit-identical, 4x less
+    # gather traffic — see bilinear_sampler); measured on the dev relay the
+    # extra convert pass makes it ~9% slower there, so the f32 path stays
+    # default until real-silicon numbers say otherwise (BASELINE.md).
     src = jnp.concatenate(
         [tile(batch.frame(-1), S), tile(batch.frame(1), S)], axis=0
     )
@@ -161,10 +161,11 @@ def forward(
     outputs[("cam_T_cam", 0, 1)] = T_next
     outputs[("translation", 0, -1)] = tr_prev
     outputs[("translation", 0, 1)] = tr_next
-    outputs[("feat4",)] = feat4
 
     # --- losses ----------------------------------------------------------
-    pyr = _image_pyramid(batch.frame(0), len(cfg.scales))
+    pyr = pyramid if pyramid is not None else _image_pyramid(
+        batch.frame(0), len(cfg.scales)
+    )
     inputs = {("rgb", 0, s): pyr[s] for s in cfg.scales}
     inputs[("rgb", -1, 0)] = batch.frame(-1)
     inputs[("rgb", 1, 0)] = batch.frame(1)
@@ -187,16 +188,154 @@ def forward(
         sample_weights=sample_weights if sample_weights is not None else batch.weights,
         rng=rng,
         dynamic_masks=dynamic_masks,
+        identity_base=identity_base,
     )
+    return losses, outputs
+
+
+def forward(
+    model: DepthPoseNet,
+    params,
+    batch_stats,
+    batch: FrameBatch,
+    cfg: LossConfig,
+    *,
+    train_bn: bool = False,
+    rng: Optional[jax.Array] = None,
+    sample_weights: Optional[jax.Array] = None,
+):
+    """Full forward: disparity + poses + warps + losses.
+
+    Returns (losses, outputs, new_batch_stats).  `outputs` carries everything
+    SLAM needs: disp pyramid, depth(0), cam_T_cam(0,±1), translations, the
+    pooled stage-4 feature of the (augmented) online frames.
+    """
+    stats = batch_stats
+
+    def run(method, *args):
+        # Thread the batch_stats through sequential applies — flax returns
+        # the whole collection, so naive merging would resurrect stale stats.
+        nonlocal stats
+        variables = {"params": params, "batch_stats": stats}
+        if train_bn:
+            out, mut = model.apply(
+                variables, *args, train=True, mutable=["batch_stats"], method=method
+            )
+            stats = {**stats, **mut["batch_stats"]}
+            return out
+        return model.apply(variables, *args, train=False, method=method)
+
+    depth_feats = run(DepthPoseNet.depth_encode, batch.frame(0, aug=True))
+    pose_feats = run(DepthPoseNet.pose_encode, _pose_pairs(batch))
+    losses, outputs = _decode_and_loss(
+        model, params, stats, batch, cfg, depth_feats, pose_feats[-1],
+        rng=rng, sample_weights=sample_weights,
+    )
+    outputs[("feat4",)] = depth_feats[-1].mean(axis=(1, 2))
     return losses, outputs, stats
 
 
-def _frozen_encoder_params(params):
-    """stop_gradient on encoder subtrees: backward never enters them."""
-    return {
-        top: (jax.tree_util.tree_map(jax.lax.stop_gradient, sub) if "encoder" in top else sub)
-        for top, sub in params.items()
-    }
+
+
+def _frozen_features(model, params, batch_stats, batch: FrameBatch):
+    """Encoder features for the whole batch, gradient-severed.
+
+    Under frozen encoders (reference _set_adapt: BN eval + encoders frozen,
+    depth_pose_prediction.py:807-827) these are invariant across the K
+    adaptation iterations — frozen params, running BN stats, constant inputs
+    — so the adapt scan computes them ONCE.  The stop_gradient means the
+    encoder backward is never built at all."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    depth_feats = model.apply(
+        variables, batch.frame(0, aug=True), method=DepthPoseNet.depth_encode
+    )
+    pose_feats = model.apply(
+        variables, _pose_pairs(batch), method=DepthPoseNet.pose_encode
+    )
+    depth_feats = [jax.lax.stop_gradient(f) for f in depth_feats]
+    return depth_feats, jax.lax.stop_gradient(pose_feats[-1])
+
+
+def _adapt_scan(
+    model, tx, cfg, state, training, num_steps, freeze_encoder, with_outputs
+):
+    """Shared K-iteration adaptation scan.
+
+    Returns (params, opt_state, rng, last_losses, last_outputs, iter_losses,
+    feat4) where feat4 is the pooled stage-4 depth feature of the hoisted
+    (frozen) encoder pass, or None when encoders are not frozen, and last_*
+    are the LAST iteration's training-batch forward results —
+    exactly what the reference `adapt` returns (its loop keeps `outputs_eval,
+    losses` from the final `_process_batch` before the final optimizer.step,
+    depth_pose_prediction.py:308-319); no separate eval forward exists.
+
+    With frozen encoders the encoder forwards, the identity reprojection
+    term and the target pyramid are loop-invariant and hoisted out of the
+    scan (~40% of the per-iteration FLOPs)."""
+    frozen_feat4 = None
+    if freeze_encoder:
+        depth_feats, pose_feat = _frozen_features(
+            model, state.params, state.batch_stats, training
+        )
+        frozen_feat4 = depth_feats[-1].mean(axis=(1, 2))
+        identity_base = identity_reprojection(
+            {
+                ("rgb", 0, 0): training.frame(0),
+                ("rgb", -1, 0): training.frame(-1),
+                ("rgb", 1, 0): training.frame(1),
+            }
+        )
+        pyramid = _image_pyramid(training.frame(0), len(cfg.scales))
+
+        def run_forward(params, rng):
+            return _decode_and_loss(
+                model, params, state.batch_stats, training, cfg,
+                depth_feats, pose_feat, rng=rng, identity_base=identity_base,
+                pyramid=pyramid,
+            )
+
+    else:
+
+        def run_forward(params, rng):
+            losses, outputs, _ = forward(
+                model, params, state.batch_stats, training, cfg,
+                train_bn=False, rng=rng,
+            )
+            outputs.pop(("feat4",), None)
+            return losses, outputs
+
+    def loss_fn(params, rng):
+        losses, outputs = run_forward(params, rng)
+        if not with_outputs:
+            return losses["loss"], (losses, {})
+        # Keep only what SLAM/logging consumes in the scan carry — the warped
+        # images are by far the largest outputs and are only loss inputs.
+        small = {k: v for k, v in outputs.items() if k[0] != "rgb"}
+        return losses["loss"], (losses, small)
+
+    def one_iter(carry, _):
+        params, opt_state, rng, _, _ = carry
+        rng, noise_rng = jax.random.split(rng)
+        (loss, (losses, outputs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, noise_rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rng, losses, outputs), loss
+
+    aux_shapes = jax.eval_shape(
+        lambda p, r: loss_fn(p, r)[1], state.params, state.rng
+    )
+    aux_zeros = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), aux_shapes
+    )
+    (params, opt_state, rng, losses, outputs), iter_losses = jax.lax.scan(
+        one_iter,
+        (state.params, state.opt_state, state.rng) + aux_zeros,
+        None,
+        length=num_steps,
+    )
+    return params, opt_state, rng, losses, outputs, iter_losses, frozen_feat4
 
 
 @partial(
@@ -210,62 +349,53 @@ def adapt_step(
     tx: optax.GradientTransformation,
     cfg: LossConfig,
     state: TrainState,
-    online: FrameBatch,
+    online: Optional[FrameBatch],
     training: FrameBatch,
     num_steps: int,
     freeze_encoder: bool = True,
     with_lc_embedding: bool = True,
 ):
-    """One SLAM frame: K fused adaptation iterations + eval outputs.
+    """One SLAM frame: K fused adaptation iterations, one dispatch.
 
-    Mirrors reference `adapt` (depth_pose_prediction.py:291-319) + the
-    embedding forward (slam/slam.py:143-147) in a single dispatch.
+    Reference-exact semantics (adapt, depth_pose_prediction.py:291-319 +
+    slam/slam.py:174-186): the returned losses and outputs are the LAST
+    iteration's training-batch forward — computed with post-(K-1)-update
+    weights before the final optimizer step; the online frame is training
+    row 0, so `outputs[('cam_T_cam',0,1)][0]` is the odometry transform the
+    reference extracts.  There is no separate eval forward.
 
-    `online=None` derives the eval sub-batch from the leading sample of
-    `training` on device (the SLAM loop always places the online frame
-    first), halving the host->device image transfer per frame.
+    The replay/loop-closure embeddings come from the frozen encoders (the
+    reference embeds with pre-adaptation weights, slam/slam.py:143-147;
+    frozen encoders make pre/post identical) inside the same dispatch.
 
-    Returns (new_state, eval_losses, eval_outputs) where eval_* come from a
-    no-grad forward on the online frame with the post-update parameters.
+    `online` is accepted for API parity and ignored (the reference likewise
+    ignores online_data when training_data is given).
     """
-
-    def loss_fn(params, rng):
-        p = _frozen_encoder_params(params) if freeze_encoder else params
-        losses, _, _ = forward(
-            model, p, state.batch_stats, training, cfg,
-            train_bn=False, rng=rng,
-        )
-        return losses["loss"]
-
-    def one_iter(carry, _):
-        params, opt_state, rng = carry
-        rng, noise_rng = jax.random.split(rng)
-        loss, grads = jax.value_and_grad(loss_fn)(params, noise_rng)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state, rng), loss
-
-    (params, opt_state, rng), iter_losses = jax.lax.scan(
-        one_iter, (state.params, state.opt_state, state.rng), None, length=num_steps
+    del online
+    params, opt_state, rng, losses, outputs, iter_losses, feat4 = _adapt_scan(
+        model, tx, cfg, state, training, num_steps, freeze_encoder,
+        with_outputs=True,
     )
 
-    eval_batch = online if online is not None else training.first(1)
-    # Eval forward on the online frame with adapted params (no noise).
-    eval_losses, eval_outputs, _ = forward(
-        model, params, state.batch_stats, eval_batch, cfg, train_bn=False
-    )
-    eval_outputs[("embedding",)] = l2_normalize(eval_outputs[("feat4",)])
+    # Embeddings with pre-adaptation weights (== reference; == any-iteration
+    # weights when encoders are frozen, where the hoisted features are free).
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if feat4 is None:
+        feat4 = model.apply(
+            variables, training.frame(0, aug=True), method=DepthPoseNet.depth_encode
+        )[-1].mean(axis=(1, 2))
+    outputs[("feat4",)] = feat4
+    outputs[("embedding",)] = l2_normalize(feat4)
     if with_lc_embedding:
-        # loop-closure embedding of the frame +1 image, in the same dispatch
-        # (the reference pays a separate MobileNet forward per frame,
-        # loop_closure_detection.py:41-51)
-        _, lc_feat = model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
-            eval_batch.frame(1),
-            method=DepthPoseNet.depth_forward,
-        )
-        eval_outputs[("lc_embedding",)] = l2_normalize(lc_feat)
-    eval_losses["iter_losses"] = iter_losses
+        # loop-closure embedding of the online frame's +1 image, in the same
+        # dispatch (the reference pays a separate MobileNet forward per
+        # frame, loop_closure_detection.py:41-51)
+        lc_feat = model.apply(
+            variables, training.frame(1)[:1], method=DepthPoseNet.depth_encode
+        )[-1].mean(axis=(1, 2))
+        outputs[("lc_embedding",)] = l2_normalize(lc_feat)
+    losses = dict(losses)
+    losses["iter_losses"] = iter_losses
 
     new_state = TrainState(
         params=params,
@@ -274,7 +404,7 @@ def adapt_step(
         rng=rng,
         step=state.step + 1,
     )
-    return new_state, eval_losses, eval_outputs
+    return new_state, losses, outputs
 
 
 @partial(
@@ -292,25 +422,11 @@ def consolidate_step(
     freeze_encoder: bool = True,
 ):
     """Update-only fused step (no eval outputs) — the generalist's replay
-    consolidation in dual-network mode and CoVIO's background update."""
-
-    def loss_fn(params, rng):
-        p = _frozen_encoder_params(params) if freeze_encoder else params
-        losses, _, _ = forward(
-            model, p, state.batch_stats, training, cfg, train_bn=False, rng=rng
-        )
-        return losses["loss"]
-
-    def one_iter(carry, _):
-        params, opt_state, rng = carry
-        rng, noise_rng = jax.random.split(rng)
-        loss, grads = jax.value_and_grad(loss_fn)(params, noise_rng)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state, rng), loss
-
-    (params, opt_state, rng), iter_losses = jax.lax.scan(
-        one_iter, (state.params, state.opt_state, state.rng), None, length=num_steps
+    consolidation in dual-network mode and CoVIO's background update.
+    Same hoisted frozen-encoder scan as `adapt_step`."""
+    params, opt_state, rng, _, _, iter_losses, _ = _adapt_scan(
+        model, tx, cfg, state, training, num_steps, freeze_encoder,
+        with_outputs=False,
     )
     new_state = TrainState(
         params=params,
