@@ -24,9 +24,12 @@ def kitti_fixture(tmp_path, rng):
     ts_lines = []
     poses = []
     T = np.eye(4)
+    (seq_dir / "image_3").mkdir(parents=True)
     for i in range(N_FRAMES):
         img = (rng.uniform(size=(H0, W0, 3)) * 255).astype(np.uint8)
         Image.fromarray(img).save(seq_dir / "image_2" / f"{i:06d}.png")
+        # right view: visibly different content so tests can tell views apart
+        Image.fromarray(255 - img).save(seq_dir / "image_3" / f"{i:06d}.png")
         # oxts: 30 fields, speed fields at indices 8:11 -> (3, 4, 0) = 5 m/s
         fields = np.zeros(30)
         fields[8:11] = [3.0, 4.0, 0.0]
@@ -94,3 +97,73 @@ def test_kitti_augmentation_flip_and_jitter(kitti_fixture):
     s = ds[0]
     assert s.rgb_aug is not None
     assert not np.allclose(s.rgb_aug, s.rgb)
+
+
+def test_kitti_stereo_view_doubling(kitti_fixture):
+    """views=('left','right') doubles the dataset, all left frames first
+    (reference datasets/utils.py:98-102,117-127)."""
+    ds_left = KittiOdometry(kitti_fixture, 4, height=24, width=80)
+    ds = KittiOdometry(kitti_fixture, 4, height=24, width=80,
+                       views=("left", "right"))
+    assert len(ds) == 2 * len(ds_left)
+    s_l, s_r = ds[0], ds[len(ds_left)]
+    assert "image_2" in str(s_l.filenames[1])
+    assert "image_3" in str(s_r.filenames[1])
+    # right view serves genuinely different imagery (fixture inverts it)
+    assert not np.allclose(s_l.rgb, s_r.rgb)
+    np.testing.assert_allclose(s_l.rgb, ds_left[0].rgb)
+    # rel distance / poses identical across views (vehicle motion)
+    np.testing.assert_allclose(s_l.rel_dist, s_r.rel_dist)
+    with pytest.raises(ValueError):
+        KittiOdometry(kitti_fixture, 4, with_depth=True,
+                      views=("left", "right"))
+    with pytest.raises(ValueError):
+        KittiOdometry(kitti_fixture, 4, views=("center",))
+
+
+def test_flip_relative_pose_math():
+    """Mirror conjugation M T M: forward motion invariant; lateral motion and
+    yaw negate; an involution (flipping twice is identity)."""
+    from scipy.spatial.transform import Rotation
+
+    from tpuslam.data.kitti import flip_relative_pose
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = Rotation.from_euler("y", 0.2).as_matrix()
+    T[:3, 3] = [0.3, 0.1, 0.9]
+    F = flip_relative_pose(T)
+    # forward/vertical translation unchanged, lateral negated
+    np.testing.assert_allclose(F[:3, 3], [-0.3, 0.1, 0.9], atol=1e-6)
+    # yaw negated
+    yaw = Rotation.from_matrix(F[:3, :3]).as_euler("yxz")[0]
+    np.testing.assert_allclose(yaw, -0.2, atol=1e-6)
+    # involution + still a valid rotation
+    np.testing.assert_allclose(flip_relative_pose(F), T, atol=1e-6)
+    np.testing.assert_allclose(F[:3, :3] @ F[:3, :3].T, np.eye(3), atol=1e-6)
+    # pure forward motion is flip-invariant
+    Tf = np.eye(4, dtype=np.float32)
+    Tf[2, 3] = 0.5
+    np.testing.assert_allclose(flip_relative_pose(Tf), Tf, atol=1e-7)
+
+
+def test_kitti_flip_adjusts_pose(kitti_fixture, rng):
+    """Flipped augmented samples must emit the mirrored relative pose."""
+    from tpuslam.data.kitti import flip_relative_pose
+
+    plain = KittiOdometry(kitti_fixture, 4, height=24, width=80)
+    aug = KittiOdometry(kitti_fixture, 4, height=24, width=80,
+                        do_augmentation=True, seed=3)
+    saw_flip = saw_plain = False
+    for i in range(len(aug)):
+        s_aug, s_plain = aug[i], plain[i]
+        flipped = not np.allclose(s_aug.rgb, s_plain.rgb)
+        if flipped:
+            np.testing.assert_allclose(s_aug.rgb, s_plain.rgb[:, :, ::-1])
+            np.testing.assert_allclose(
+                s_aug.rel_pose, flip_relative_pose(s_plain.rel_pose), atol=1e-6
+            )
+            saw_flip = True
+        else:
+            np.testing.assert_allclose(s_aug.rel_pose, s_plain.rel_pose)
+            saw_plain = True
+    assert saw_flip and saw_plain, "seed must exercise both branches"

@@ -67,3 +67,12 @@ def test_pretrainer_resume(tmp_path):
     # training continues
     loss = t2.train_epoch(ds, progress=False)
     assert np.isfinite(loss) and t2.epoch == 2
+
+
+@pytest.mark.slow
+def test_pretrainer_depth_panel(tmp_path):
+    ds = SyntheticDataset(num_frames=4, height=H, width=W)
+    trainer = Pretrainer(height=H, width=W, scales=(0,), batch_size=2,
+                         log_path=tmp_path)
+    out = trainer.save_depth_panel(ds)
+    assert out.exists() and out.suffix == ".png"

@@ -1,0 +1,79 @@
+"""Meshlab OBJ exporter extras: mesh/polygon export, rotation_matrix_from_to."""
+import numpy as np
+import pytest
+
+from tpuslam.viz.meshlab import (
+    MeshlabExporter,
+    false_color,
+    norm_range_01,
+    rotation_matrix_from_to,
+)
+
+
+def test_mesh_export_triangulates_grid(tmp_path):
+    # 3x4 height-field grid -> (3-1)*(4-1)*2 = 12 triangles
+    ys, xs = np.mgrid[0:3, 0:4].astype(float)
+    grid = np.stack([xs, ys, np.sin(xs + ys)], axis=-1)
+    ex = MeshlabExporter()
+    ex.add_mesh(grid, color=norm_range_01(grid[..., 2]))
+    out = ex.write(tmp_path / "mesh.obj", verbose=False)
+    text = out.read_text()
+    assert text.count("\nf ") == 12
+    assert text.count("\nv ") == 12  # 3*4 vertices
+    # all face indices valid and 1-based
+    for line in text.splitlines():
+        if line.startswith("f "):
+            idx = [int(t) for t in line.split()[1:]]
+            assert len(idx) == 3 and all(1 <= i <= 12 for i in idx)
+
+
+def test_mesh_export_drops_nan_vertices(tmp_path):
+    grid = np.zeros((2, 3, 3))
+    grid[..., 0] = np.arange(3)
+    grid[0, 0] = np.nan  # kills two incident triangles
+    ex = MeshlabExporter()
+    ex.add_mesh(grid)
+    out = ex.write(tmp_path / "m.obj", verbose=False)
+    text = out.read_text()
+    assert text.count("\nv ") == 5  # one NaN vertex dropped
+    # only the triangles touching the NaN vertex die: 4 - 1 = 3 remain
+    assert text.count("\nf ") == 3
+    for line in text.splitlines():
+        if line.startswith("f "):
+            idx = [int(t) for t in line.split()[1:]]
+            assert all(1 <= i <= 5 for i in idx)  # remapped, in range
+
+
+def test_polygon_export(tmp_path):
+    ex = MeshlabExporter()
+    ex.add_polygon(np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]]),
+                   color=[1.0, 0.0, 0.0])
+    out = ex.write(tmp_path / "p.obj", verbose=False)
+    text = out.read_text()
+    assert "f 1 2 3 4" in text
+
+
+def test_rotation_matrix_from_to():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        a = rng.normal(size=3)
+        b = rng.normal(size=3)
+        R = rotation_matrix_from_to(a, b)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-10)
+        got = R @ (a / np.linalg.norm(a))
+        np.testing.assert_allclose(got, b / np.linalg.norm(b), atol=1e-10)
+    # identity and antiparallel corner cases
+    np.testing.assert_allclose(
+        rotation_matrix_from_to([0, 0, 1], [0, 0, 1]), np.eye(3), atol=1e-12
+    )
+    R = rotation_matrix_from_to([0, 0, 1], [0, 0, -1])
+    np.testing.assert_allclose(R @ [0, 0, 1], [0, 0, -1], atol=1e-10)
+    R4 = rotation_matrix_from_to([1, 0, 0], [0, 1, 0], output4x4=True)
+    assert R4.shape == (4, 4) and R4[3, 3] == 1.0
+
+
+def test_false_color_range():
+    c = false_color(np.array([0.0, 0.5, 1.0]))
+    assert c.shape == (3, 3)
+    assert c.min() >= 0 and c.max() <= 1

@@ -16,8 +16,13 @@ def main(argv=None) -> int:
     ap.add_argument("--data", required=True, type=Path, help="RobotCar dataset root")
     ap.add_argument("--sequence", required=True)
     ap.add_argument("--max-images", type=int, default=None)
+    ap.add_argument("--workers", type=int, default=None,
+                    help="process-pool size (default: all cores)")
     args = ap.parse_args(argv)
-    n = undistort_robotcar(args.data, args.sequence, max_images=args.max_images)
+    n = undistort_robotcar(
+        args.data, args.sequence,
+        max_images=args.max_images, num_workers=args.workers,
+    )
     print(f"undistorted {n} images")
     return 0
 

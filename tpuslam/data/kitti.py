@@ -11,7 +11,16 @@ Reads the same on-disk layout as the reference loader
   (kitti.py:319-331),
 * min-distance frame filtering that accumulates skipped distance
   (kitti.py:217-229),
-* GT relative/absolute poses for frame +1 (kitti.py:306-314).
+* GT relative/absolute poses for frame +1 (kitti.py:306-314),
+* stereo view doubling for pretraining: `views=("left", "right")` doubles the
+  dataset over image_2/image_3, all left frames first
+  (datasets/utils.py:98-102,117-139),
+* horizontal-flip augmentation mirrors the relative pose around the y-axis
+  (negated [2,0]/[0,2] rotation terms and x translation).  The reference
+  intends this too (kitti.py:306-314) but its adjustment writes to a key
+  that is never populated, so it only ever runs in configurations that
+  cannot occur (poses + augmentation together) — fixed here, documented in
+  PARITY.md.
 """
 from __future__ import annotations
 
@@ -46,6 +55,20 @@ KITTI_RAW_SEQ_MAPPING = {
 }
 
 
+_FLIP_X = np.diag([-1.0, 1.0, 1.0, 1.0]).astype(np.float32)
+
+
+def flip_relative_pose(rel_pose: np.ndarray) -> np.ndarray:
+    """Relative pose of the horizontally-flipped scene: conjugation by the
+    x-mirror, M T M — negates R[0,1]/R[1,0]/R[0,2]/R[2,0] and t_x.
+
+    The reference intends the same y-axis mirror (kitti.py:306-314) but its
+    adjustment is dead code (writes a never-set key) and partial (misses the
+    [0,1]/[1,0] terms and t_x); the full conjugation is the exact transform
+    of the mirrored camera trajectory."""
+    return (_FLIP_X @ rel_pose @ _FLIP_X).astype(np.float32)
+
+
 def _parse_timestamps(path: Path) -> np.ndarray:
     fmt = "%Y-%m-%d %H:%M:%S.%f"
     lines = path.read_text().splitlines()
@@ -71,7 +94,15 @@ class KittiOdometry:
         min_distance: float = 0.0,
         do_augmentation: bool = False,
         seed: int = 42,
+        views: Sequence[str] = ("left",),
     ):
+        self.views = tuple(views)
+        if not self.views or any(v not in ("left", "right") for v in self.views):
+            raise ValueError(f"views must be 'left'/'right', got {views}")
+        if with_depth and self.views != ("left",):
+            # GT depth panels exist for the left camera only (reference
+            # asserts views == ('left',) at kitti.py:291-296)
+            raise ValueError("with_depth requires views=('left',)")
         self.data_path = Path(data_path)
         self.sequences = sorted(
             (sequences,) if isinstance(sequences, int) else tuple(sequences)
@@ -96,13 +127,17 @@ class KittiOdometry:
         self.relative_distances_list: list = []
         self._sequence_bounds: list = []  # (start, end) per sequence in concat order
 
-        for seq in self.sequences:
+        # view doubling: all left frames first, then all right frames
+        # (reference datasets/utils.py:98-102,117-127)
+        view_dirs = {"left": "image_2", "right": "image_3"}
+        for view, seq in ((v, s) for v in self.views for s in self.sequences):
+            img_dir = view_dirs[view]
             seq_dir = self.data_path / "sequences" / f"{seq:02d}"
-            images = sorted((seq_dir / "image_2").glob("*.png"))
+            images = sorted((seq_dir / img_dir).glob("*.png"))
             if not images:
-                raise FileNotFoundError(f"no images under {seq_dir / 'image_2'}")
+                raise FileNotFoundError(f"no images under {seq_dir / img_dir}")
             masks = (
-                sorted((seq_dir / "segm_mask" / "image_2").glob("*.png"))
+                sorted((seq_dir / "segm_mask" / img_dir).glob("*.png"))
                 if with_mask
                 else []
             )
@@ -205,11 +240,13 @@ class KittiOdometry:
         mask = None
         if self.with_mask and self.mask_files[center] is not None:
             mask = self._load_mask(self.mask_files[center])
+        do_flip = False
         if self.do_augmentation:
             jitter = random_color_jitter(self._aug_rng)
             rgb_aug = np.stack([jitter(f) for f in frames])
             if self._aug_rng.random() > 0.5:
                 rgb, rgb_aug, mask = flip_sample_arrays(rgb, rgb_aug, mask)
+                do_flip = True
 
         rel_pose = abs_pose = None
         if self.global_poses is not None:
@@ -217,10 +254,14 @@ class KittiOdometry:
                 np.linalg.inv(self.global_poses[center]) @ self.global_poses[center + 1]
             ).astype(np.float32)
             abs_pose = self.global_poses[center + 1].astype(np.float32)
+            if do_flip:
+                rel_pose = flip_relative_pose(rel_pose)
 
         depth = None
         if self.with_depth and self.depth_files[center] is not None:
             depth = self._load_depth(self.depth_files[center])
+            if do_flip:
+                depth = depth[:, ::-1].copy()
 
         return Sample(
             index=index,

@@ -261,15 +261,31 @@ class CameraModel:
         return np.stack(channels, axis=-1)
 
 
+def _undistort_one(args) -> None:
+    # module-level so it pickles for multiprocessing workers
+    from PIL import Image
+
+    f, out_dir, model = args
+    raw = np.asarray(Image.open(f))
+    rgb = demosaic_gbrg_bilinear(raw)
+    rgb = model.undistort(rgb)
+    Image.fromarray((rgb * 255).astype(np.uint8)).save(Path(out_dir) / f.name)
+
+
 def undistort_robotcar(
     data_path: Path,
     sequence: str,
     out_dir_name: str = "stereo/center",
     raw_dir_name: str = "stereo/centre",
     max_images: Optional[int] = None,
+    num_workers: Optional[int] = None,
 ) -> int:
-    """Offline preprocessing: Bayer raw -> demosaiced, undistorted PNGs."""
-    from PIL import Image
+    """Offline preprocessing: Bayer raw -> demosaiced, undistorted PNGs.
+
+    Parallelised over a process pool like the reference
+    (datasets/robotcar.py:505-510); `num_workers=None` uses all cores,
+    0/1 runs inline (useful for tests)."""
+    import os
 
     data_path = Path(data_path)
     model = CameraModel(data_path / "camera_models")
@@ -279,9 +295,14 @@ def undistort_robotcar(
     files = sorted(raw_dir.glob("*.png"))
     if max_images is not None:
         files = files[:max_images]
-    for f in files:
-        raw = np.asarray(Image.open(f))
-        rgb = demosaic_gbrg_bilinear(raw)
-        rgb = model.undistort(rgb)
-        Image.fromarray((rgb * 255).astype(np.uint8)).save(out_dir / f.name)
+    jobs = [(f, out_dir, model) for f in files]
+    workers = os.cpu_count() if num_workers is None else num_workers
+    if workers and workers > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+
+        with mp.Pool(min(workers, len(jobs))) as pool:
+            pool.map(_undistort_one, jobs)
+    else:
+        for job in jobs:
+            _undistort_one(job)
     return len(files)

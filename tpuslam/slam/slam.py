@@ -48,6 +48,7 @@ from tpuslam.train import (
     adapt_step,
     concat_batches,
     consolidate_step,
+    consolidate_step_async,
     eval_step,
     make_adapt_optimizer,
     make_frame_batch,
@@ -57,6 +58,17 @@ from tpuslam.train import (
 )
 
 LC_MAX_STEP = 4000  # reference hard cap (slam/slam.py:224)
+
+
+def _tree_ready(state) -> bool:
+    """True when an async dispatch's result has materialised on device.
+
+    Checks a single leaf — all leaves of one dispatch complete together.
+    Backends whose arrays lack `is_ready` report True (update adopted every
+    frame: still correct, just less lag-tolerant)."""
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    is_ready = getattr(leaf, "is_ready", None)
+    return True if is_ready is None else bool(is_ready())
 
 
 def _embed_frame(model, params, batch_stats, image):
@@ -159,6 +171,11 @@ class Slam:
         else:
             self.generalist_state = None
         self.async_adaptation = sc.async_adaptation
+        # CoVIO async bookkeeping: the update in flight (None = none) and
+        # counters proving updates lag/skip rather than gate the frame rate
+        self._pending_state = None
+        self.async_updates_launched = 0
+        self.async_updates_adopted = 0
         self.loss_cfg = LossConfig(
             scales=tuple(pc.scales),
             min_depth=pc.min_depth,
@@ -302,10 +319,15 @@ class Slam:
         return np.asarray(emb)[0]
 
     # ------------------------------------------------------------------
-    def step(self) -> Dict[str, float]:
+    def step(self, sample: Optional[Sample] = None) -> Dict[str, float]:
+        """One SLAM frame.  `sample` may be supplied by a prefetcher (see
+        `run`) so host-side decode/render overlaps the previous frame's
+        device work — the reference gets this from DataLoader workers
+        (slam/slam.py:75-82)."""
         self.current_step += 1
         t_start = time.perf_counter()
-        sample = self.dataset[self.current_step - 1]
+        if sample is None:
+            sample = self.dataset[self.current_step - 1]
         online = self._sample_to_batch(sample)
 
         # skip-frame rule: signed relative distance below threshold
@@ -326,20 +348,30 @@ class Slam:
 
         # --- the fused dispatch -----------------------------------------
         if self.do_adaptation and self.async_adaptation:
-            # CoVIO mode (reference README.md:171-172 async variant): the
-            # pose/depth for frame t come from the newest completed weights;
-            # the weight update runs as an overlapped device computation
-            # while the host does graph/buffer/loop-closure work.
+            # CoVIO mode (reference README.md:171-172 async variant):
+            # inference runs at frame rate on the newest COMPLETED weights;
+            # the weight update is dispatched asynchronously and adopted at a
+            # later step boundary.  If an update is still in flight, this
+            # frame launches none (updates lag/skip — real CoVIO semantics);
+            # the eval never waits for an update.
+            if self._pending_state is not None and _tree_ready(self._pending_state):
+                self.state = self._pending_state
+                self._pending_state = None
+                self.async_updates_adopted += 1
             losses, outputs = eval_step(
                 self.model, self.loss_cfg, self.state.params,
                 self.state.batch_stats, online,
                 with_lc_embedding=self.do_loop_closures,
             )
-            training = self._training_batch(online, sample)
-            self.state, _ = consolidate_step(
-                self.model, self.tx, self.loss_cfg, self.state, training,
-                num_steps=self.adaptation_epochs,
-            )
+            if self._pending_state is None:
+                training = self._training_batch(online, sample)
+                # non-donating variant: self.state keeps serving inference
+                # while the update computes
+                self._pending_state, _ = consolidate_step_async(
+                    self.model, self.tx, self.loss_cfg, self.state, training,
+                    num_steps=self.adaptation_epochs,
+                )
+                self.async_updates_launched += 1
         elif self.do_adaptation:
             training = self._training_batch(online, sample)
             # the online frame is training row 0 — the eval sub-batch is
@@ -516,16 +548,35 @@ class Slam:
 
     # ------------------------------------------------------------------
     def run(self, max_steps: Optional[int] = None, progress: bool = True):
+        """Drive the loop with a one-ahead host prefetch: frame k+1 decodes /
+        renders on a worker thread while frame k's fused dispatch runs on
+        device (the device sync inside step() releases the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         n = len(self) if max_steps is None else min(max_steps, len(self))
-        for _ in range(n):
-            losses = self.step()
-            if progress and self.current_step % 25 == 0:
-                print(
-                    f"step {self.current_step}/{n} "
-                    f"loss={losses.get('loss', 0):.4f} "
-                    f"({1.0 / max(np.mean(self.step_times[-25:]), 1e-9):.1f} fps)"
-                )
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self.dataset.__getitem__, self.current_step) if n else None
+            for k in range(n):
+                sample = fut.result()
+                if k + 1 < n:
+                    fut = pool.submit(self.dataset.__getitem__, self.current_step + 1)
+                losses = self.step(sample=sample)
+                if progress and self.current_step % 25 == 0:
+                    print(
+                        f"step {self.current_step}/{n} "
+                        f"loss={losses.get('loss', 0):.4f} "
+                        f"({1.0 / max(np.mean(self.step_times[-25:]), 1e-9):.1f} fps)"
+                    )
+        self.finish_async()
         return self
+
+    def finish_async(self) -> None:
+        """Adopt the in-flight CoVIO update, blocking until it completes."""
+        if self._pending_state is not None:
+            np.asarray(jax.tree_util.tree_leaves(self._pending_state.params)[0])
+            self.state = self._pending_state
+            self._pending_state = None
+            self.async_updates_adopted += 1
 
     # ------------------------------------------------------------------
     def trajectory(self, graph: Optional[PoseGraph] = None) -> np.ndarray:

@@ -11,11 +11,13 @@ from tpuslam.train.steps import (
     LossConfig,
     adapt_step,
     consolidate_step,
+    consolidate_step_async,
     eval_step,
     forward,
     predict_depth_step,
     predict_pose_step,
     train_step,
+    warp_and_loss,
 )
 
 __all__ = [
@@ -25,6 +27,7 @@ __all__ = [
     "adapt_step",
     "concat_batches",
     "consolidate_step",
+    "consolidate_step_async",
     "eval_step",
     "forward",
     "make_adapt_optimizer",
@@ -36,4 +39,5 @@ __all__ = [
     "predict_pose_step",
     "set_learning_rate",
     "steplr",
+    "warp_and_loss",
 ]

@@ -217,6 +217,25 @@ class Pretrainer:
             config_yaml=config_yaml,
         )
 
+    def save_depth_panel(self, dataset, sample_index: int = 0) -> "Path":
+        """RGB + predicted-depth panel for one sample under
+        <log_path>/panels/epoch_{N}.png — the reference's per-epoch
+        save_prediction visual check (depth_pose_prediction.py:1197-1244)."""
+        import jax.numpy as jnp
+
+        from tpuslam.train.steps import predict_depth_step
+        from tpuslam.viz.plots import save_depth_panel
+
+        sample = dataset[sample_index]
+        image = sample.rgb[1][None]  # frame 0
+        depth, _ = predict_depth_step(
+            self.model, self.state.params, self.state.batch_stats,
+            jnp.asarray(image),
+            min_depth=self.cfg.min_depth, max_depth=self.cfg.max_depth,
+        )
+        out = self.log_path / "panels" / f"epoch_{self.epoch:03d}.png"
+        return save_depth_panel(image[0], np.asarray(depth)[0, ..., 0], out)
+
     def fit(
         self,
         train_dataset,
@@ -226,6 +245,7 @@ class Pretrainer:
         validate: bool = True,
         depth_error: bool = False,
         log_fn: Optional[Callable[[Dict], None]] = None,
+        save_panels: bool = False,
     ):
         for _ in range(num_epochs):
             train_loss = self.train_epoch(train_dataset)
@@ -234,6 +254,10 @@ class Pretrainer:
                 record["validation_loss"] = self.validate(val_dataset, max_batches=20)
             if depth_error and val_dataset is not None:
                 record.update(self.compute_depth_error(val_dataset))
+            if save_panels:
+                self.save_depth_panel(
+                    val_dataset if val_dataset is not None else train_dataset
+                )
             if save_frequency > 0 and self.epoch % save_frequency == 0:
                 self.save()
             print(" ".join(f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"

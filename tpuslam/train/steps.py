@@ -106,10 +106,39 @@ def _decode_and_loss(
     disparity/pose decoding, multi-scale inverse warp, loss.  Encoder features
     arrive as arguments so the frozen-encoder adapt scan can hoist them.
     """
-    H, W = batch.height, batch.width
     variables = {"params": params, "batch_stats": batch_stats}
     disps = model.apply(variables, depth_feats, method=DepthPoseNet.depth_decode)
     aa, tr = model.apply(variables, pose_feat, method=DepthPoseNet.pose_decode)
+    return warp_and_loss(
+        disps, aa, tr, batch, cfg,
+        rng=rng, sample_weights=sample_weights,
+        identity_base=identity_base, pyramid=pyramid,
+    )
+
+
+def warp_and_loss(
+    disps: Dict[Any, jax.Array],
+    aa: jax.Array,
+    tr: jax.Array,
+    batch: FrameBatch,
+    cfg: LossConfig,
+    *,
+    rng: Optional[jax.Array] = None,
+    sample_weights: Optional[jax.Array] = None,
+    identity_base: Optional[jax.Array] = None,
+    pyramid: Optional[Dict[int, jax.Array]] = None,
+):
+    """Multi-scale inverse warp + loss from raw decoder outputs.
+
+    The model-free tail of `_process_batch`: `disps` maps ('disp', s) to the
+    sigmoid disparity pyramid; `aa`/`tr` are the doubled-batch (2B, 3) pose
+    decoder outputs ordered [pair (prev,cur); pair (cur,next)].  Exposed
+    separately so parity tests can drive the exact production warp/loss
+    composition against a reference reimplementation
+    (reference _reconstruct_images + _compute_loss,
+    depth_pose_prediction.py:976-1120).
+    """
+    H, W = batch.height, batch.width
     B = batch.batch_size
     aa_prev, aa_next = aa[:B], aa[B:]
     tr_prev, tr_next = tr[:B], tr[B:]
@@ -407,12 +436,7 @@ def adapt_step(
     return new_state, losses, outputs
 
 
-@partial(
-    jax.jit,
-    static_argnames=("model", "tx", "cfg", "num_steps", "freeze_encoder"),
-    donate_argnames=("state",),
-)
-def consolidate_step(
+def _consolidate(
     model: DepthPoseNet,
     tx: optax.GradientTransformation,
     cfg: LossConfig,
@@ -436,6 +460,21 @@ def consolidate_step(
         step=state.step + 1,
     )
     return new_state, iter_losses
+
+
+consolidate_step = partial(
+    jax.jit,
+    static_argnames=("model", "tx", "cfg", "num_steps", "freeze_encoder"),
+    donate_argnames=("state",),
+)(_consolidate)
+
+# CoVIO async mode launches the update WITHOUT blocking the next frame's
+# inference: the serving parameters may still alias the input state's
+# buffers, so this variant must not donate them.
+consolidate_step_async = partial(
+    jax.jit,
+    static_argnames=("model", "tx", "cfg", "num_steps", "freeze_encoder"),
+)(_consolidate)
 
 
 @partial(

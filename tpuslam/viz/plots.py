@@ -65,6 +65,7 @@ def plot_metrics(slam, filename: Path) -> Path:
 def save_depth_panel(image: np.ndarray, depth: np.ndarray, filename: Path) -> Path:
     """Side-by-side RGB + colored depth (reference save_prediction analog)."""
     plt = _plt()
+    Path(filename).parent.mkdir(parents=True, exist_ok=True)
     fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(8, 5))
     ax1.imshow(image)
     ax1.axis("off")
