@@ -60,7 +60,7 @@ def main() -> None:
     model, variables = init_depth_pose(
         jax.random.PRNGKey(0), height=HEIGHT, width=WIDTH
     )
-    cfg = LossConfig(scales=(0, 1, 2, 3), min_depth=0.1, max_depth=None)
+    cfg = LossConfig(scales=(0, 1, 2, 3), min_depth=0.1, max_depth=None)  # pallas warp on by default
     tx = make_adapt_optimizer(variables["params"], 1e-4)
     state = make_train_state(variables["params"], variables["batch_stats"], tx)
     batches = build_batches()

@@ -71,3 +71,81 @@ def test_pallas_warp_identity(data, rng):
     )
     out = np.asarray(pallas_warp(src, coords, True))
     np.testing.assert_allclose(out, np.asarray(src), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Static-window variant (compiles on Mosaic stacks without dynamic
+# addressing; interpret-mode here, compiled-mode validated on the dev TPU
+# attachment — BASELINE.md round 2)
+# ---------------------------------------------------------------------------
+HS, WS = 48, 384  # static window needs >= 24 x 384
+
+
+def _static_data(rng, max_shift=3.0):
+    src = jnp.asarray(rng.uniform(size=(B, HS, WS, C)).astype(np.float32))
+    gx, gy = np.meshgrid(np.arange(WS, dtype=np.float32),
+                         np.arange(HS, dtype=np.float32), indexing="xy")
+    dx = max_shift * np.sin(gy / HS * 3.0)[None] * np.ones((B, 1, 1), np.float32)
+    dy = max_shift * np.cos(gx / WS * 2.0)[None] * np.ones((B, 1, 1), np.float32)
+    coords = np.stack([gx[None] + dx, gy[None] + dy], axis=-1).astype(np.float32)
+    return src, jnp.asarray(coords)
+
+
+def test_pallas_warp_static_matches_xla_sampler(rng):
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+
+    src, coords = _static_data(rng)
+    ours = np.asarray(pallas_warp_static(src, coords, True))
+    ref = np.asarray(bilinear_sampler(src, coords))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_pallas_warp_static_gradients_match(rng):
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+
+    src, coords = _static_data(rng)
+
+    def loss_pallas(c):
+        return (pallas_warp_static(src, c, True) ** 2).sum()
+
+    def loss_xla(c):
+        return (bilinear_sampler(src, c) ** 2).sum()
+
+    g_pallas = np.asarray(jax.grad(loss_pallas)(coords))
+    g_xla = np.asarray(jax.grad(loss_xla)(coords))
+    np.testing.assert_allclose(g_pallas, g_xla, atol=1e-3, rtol=1e-3)
+
+
+def test_pallas_warp_static_out_of_window_clamps(rng):
+    """Displacements beyond one tile clamp to the window edge (documented
+    degradation), and stay finite."""
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+
+    src, coords = _static_data(rng)
+    coords = coords.at[..., 1].add(30.0)  # vertical shift way past the margin
+    out = np.asarray(pallas_warp_static(src, coords, True))
+    assert np.isfinite(out).all()
+
+
+def test_warp_and_loss_pallas_path_matches_xla(rng):
+    """The fused loss with use_pallas_warp=True must match the XLA path for
+    in-domain warps (shapes compatible: 48 x 384)."""
+    from tpuslam.train import LossConfig, make_frame_batch
+    from tpuslam.train.steps import warp_and_loss
+
+    rgb = rng.uniform(size=(1, 3, HS, WS, 3)).astype(np.float32)
+    K = np.array([[0.58 * WS, 0, 0.5 * WS, 0], [0, 1.92 * HS, 0.5 * HS, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    batch = make_frame_batch(rgb, K, rng.uniform(0.5, 1.0, (1, 2)).astype(np.float32),
+                             quantize=False)
+    disps = {("disp", s): jnp.asarray(
+        rng.uniform(0.3, 0.6, (1, HS // 2**s, WS // 2**s, 1)).astype(np.float32))
+        for s in (0, 1)}
+    aa = jnp.asarray(rng.normal(scale=1e-3, size=(2, 3)).astype(np.float32))
+    tr = jnp.asarray(rng.normal(scale=1e-2, size=(2, 3)).astype(np.float32))
+    losses_p, _ = warp_and_loss(
+        disps, aa, tr, batch, LossConfig(scales=(0, 1), use_pallas_warp=True))
+    losses_x, _ = warp_and_loss(
+        disps, aa, tr, batch, LossConfig(scales=(0, 1), use_pallas_warp=False))
+    np.testing.assert_allclose(
+        float(losses_p["loss"]), float(losses_x["loss"]), atol=1e-5)

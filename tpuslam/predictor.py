@@ -75,6 +75,7 @@ class DepthPosePrediction:
             max_depth=config.max_depth,
             disparity_smoothness=config.disparity_smoothness,
             velocity_loss_scaling=config.velocity_loss_scaling,
+            use_pallas_warp=getattr(config, "pallas_warp", False),
         )
         self.tx = make_adapt_optimizer(variables["params"], config.learning_rate)
         self.state = make_train_state(

@@ -182,6 +182,7 @@ class Slam:
             max_depth=pc.max_depth,
             disparity_smoothness=pc.disparity_smoothness,
             velocity_loss_scaling=pc.velocity_loss_scaling,
+            use_pallas_warp=pc.pallas_warp,
         )
 
         # --- replay buffer ----------------------------------------------

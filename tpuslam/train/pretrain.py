@@ -78,6 +78,7 @@ class Pretrainer:
         log_path: Path = Path("./log/pretrain"),
         dp_devices: int = 1,
         seed: int = 42,
+        pallas_warp: bool = False,
     ):
         self.height, self.width = height, width
         self.batch_size = batch_size
@@ -101,6 +102,7 @@ class Pretrainer:
             disparity_smoothness=disparity_smoothness,
             velocity_loss_scaling=velocity_loss_scaling,
             mask_dynamic=mask_dynamic,
+            use_pallas_warp=pallas_warp,
         )
         self.tx = make_pretrain_optimizer(learning_rate)
         self.state = make_train_state(

@@ -63,6 +63,16 @@ class LossConfig(NamedTuple):
     disparity_smoothness: float = 1e-3
     velocity_loss_scaling: Optional[float] = 0.05
     mask_dynamic: bool = False  # mask dynamic objects (Cityscapes pretraining)
+    # Pallas static-window warp kernel: ~6x faster than the XLA gather on the
+    # dominant warp stage (measured on the dev TPU attachment, BASELINE.md).
+    # Exact for warp displacements within one (8, 128) tile of the target
+    # pixel; larger displacements clamp to the window edge (border-like).
+    # Requires H % 8 == 0, W % 128 == 0, H >= 24, W >= 384 — silently falls
+    # back to the XLA sampler otherwise.  Default ON: within-domain it is
+    # bit-exact, out-of-domain pixels are garbage reprojections the
+    # min-reprojection auto-mask discards anyway, and the end-to-end SLAM
+    # quality A/B matched (BASELINE.md round 2).
+    use_pallas_warp: bool = True
 
 
 def _avg_pool2(x: jax.Array) -> jax.Array:
@@ -180,7 +190,15 @@ def warp_and_loss(
     src = jnp.concatenate(
         [tile(batch.frame(-1), S), tile(batch.frame(1), S)], axis=0
     )
-    warped = bilinear_sampler(src, coords)
+    if cfg.use_pallas_warp and H % 8 == 0 and W % 128 == 0 and H >= 24 and W >= 384:
+        from tpuslam.ops.pallas_warp import pallas_warp_static
+
+        # interpret mode off TPU (pallas compiles natively only there)
+        warped = pallas_warp_static(
+            src, coords, jax.default_backend() != "tpu"
+        )
+    else:
+        warped = bilinear_sampler(src, coords)
     for fi, f in enumerate((-1, 1)):
         for si, s in enumerate(cfg.scales):
             start = (fi * S + si) * B
