@@ -149,7 +149,13 @@ class DepthPosePrediction:
         """Online adaptation (reference adapt(), :291-319): K fused update
         iterations when training data is given, otherwise a no-grad eval.
         `online_loss_weight` re-weights the online sample, spreading the rest
-        uniformly over the replay samples (reference :297-305)."""
+        uniformly over the replay samples (reference :297-305).
+
+        Like the reference, the returned outputs/losses are the LAST
+        iteration's training-batch forward; unlike the reference the warped
+        ('rgb', f, s) images are dropped from the outputs (they are loss
+        inputs only and dominate the transfer) — use `predict` for a full
+        eval forward that includes them."""
         state = self.online_state if (use_online and self.online_state) else self.state
         if training_batch is not None:
             if online_loss_weight is not None and training_batch.batch_size > 1:
