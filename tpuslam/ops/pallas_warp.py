@@ -229,45 +229,37 @@ pallas_warp.defvjp(_fwd, _bwd)
 # of margin); larger displacements clamp to the window edge (border-like
 # degradation).  SLAM frame-to-frame warps are a few px.
 # ---------------------------------------------------------------------------
-SWIN_H = 3 * TILE_H  # 24 rows  (one tile of margin above and below)
 SWIN_W = 3 * TILE_W  # 384 cols (one lane-segment of margin either side)
 
 
-def _window_origin(i, j, H, W):
+def _pick_out_h(H: int) -> int:
+    """Tallest supported output block: cuts the window read amplification
+    ((out_h+16)*384 / (out_h*128) — 9x at out_h=8, 3.5x at out_h=96) and the
+    row-sweep work per output pixel."""
+    # measured on the dev attachment: out_h=8 13.5ms, 16 ~15ms, 24 ~18ms
+    # (fwd+bwd, 24x192x640) and out_h>=48 hits Mosaic scoped-vmem stack
+    # limits -- the sweep is VPU-bound, so the smallest block wins; the
+    # parametric machinery stays for re-tuning on other silicon
+    for oh in (8,):
+        if H % oh == 0 and H >= oh + 2 * TILE_H:
+            return oh
+    return TILE_H
+
+
+def _window_origin(i, j, H, W, out_h):
     # computed in TILE units then scaled so the offsets are provably aligned
-    ys = jnp.clip(i - 1, 0, H // TILE_H - 3) * TILE_H
+    oh_t = out_h // TILE_H
+    ys = jnp.clip(i * oh_t - 1, 0, H // TILE_H - (oh_t + 2)) * TILE_H
     xs = jnp.clip(j - 1, 0, W // TILE_W - 3) * TILE_W
     return ys, xs
 
 
-def _row_gather_wide(window_row, xr, width):
-    """Per-lane gather of a (width,) row at indices xr in [0, width).
-
-    Mosaic's dynamic lane gather is 128-lane local, so the row splits into
-    width/128 segments whose results are lane-selected."""
-    out = None
-    for s in range(0, width, TILE_W):
-        seg = jnp.broadcast_to(window_row[s : s + TILE_W][None, :], xr.shape)
-        idx = jnp.clip(xr - s, 0, TILE_W - 1)
-        v = jnp.take_along_axis(seg, idx, axis=1)
-        out = v if out is None else jnp.where(xr >= s, v, out)
-    return out
-
-
-def _gather_neighbors_wide(window_c, xr, w, width):
-    xr1 = jnp.minimum(xr + 1, width - 1)
-    va0 = _row_gather_wide(window_c[w], xr, width)
-    va1 = _row_gather_wide(window_c[w], xr1, width)
-    vb0 = _row_gather_wide(window_c[w + 1], xr, width)
-    vb1 = _row_gather_wide(window_c[w + 1], xr1, width)
-    return va0, va1, vb0, vb1
-
-
-def _static_tile_coords(coords_ref, H, W):
+def _static_tile_coords(coords_ref, H, W, out_h):
     """In-window indices + weights for the static grid-derived window."""
     i = pl.program_id(1)
     j = pl.program_id(2)
-    ys, xs = _window_origin(i, j, H, W)
+    win_h = out_h + 2 * TILE_H
+    ys, xs = _window_origin(i, j, H, W, out_h)
     x = jnp.clip(coords_ref[0, 0], 0.0, W - 1)
     y = jnp.clip(coords_ref[0, 1], 0.0, H - 1)
     x0 = jnp.minimum(jnp.floor(x), W - 2)
@@ -275,27 +267,64 @@ def _static_tile_coords(coords_ref, H, W):
     wx = x - x0
     wy = y - y0
     xr = jnp.clip(x0.astype(jnp.int32) - xs, 0, SWIN_W - 2)
-    yr = jnp.clip(y0.astype(jnp.int32) - ys, 0, SWIN_H - 2)
+    yr = jnp.clip(y0.astype(jnp.int32) - ys, 0, win_h - 2)
     return xr, yr, wx, wy
 
 
-def _warp_kernel_static(src_win_ref, coords_ref, out_ref, *, H, W):
-    C = src_win_ref.shape[1]
-    xr, yr, wx, wy = _static_tile_coords(coords_ref, H, W)
-    for c in range(C):
-        window_c = src_win_ref[0, c]
-        acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        for w in range(SWIN_H - 1):
-            va0, va1, vb0, vb1 = _gather_neighbors_wide(window_c, xr, w, SWIN_W)
-            top = va0 * (1 - wx) + va1 * wx
-            bot = vb0 * (1 - wx) + vb1 * wx
-            acc = jnp.where(yr == w, top * (1 - wy) + bot * wy, acc)
-        out_ref[0, c] = acc
+def _row_gather_all_channels(src_win_ref, w, xr, C):
+    """Gather ALL channels of window row `w` at in-window indices xr.
+
+    One take_along_axis per 128-lane segment serves every (channel, output
+    sublane) pair at once: the C channel rows are replicated across the
+    output-block sublanes into a (C*out_h, 128) block, so the gather count
+    per row drops from C*segments to segments.  Returns (C, out_h, TILE_W)."""
+    out_h = xr.shape[0]
+    rows = src_win_ref[0, :, w, :]  # (C, SWIN_W)
+    idx = jnp.tile(xr, (C, 1))  # (C*out_h, TILE_W)
+    out = None
+    for s in range(0, SWIN_W, TILE_W):
+        seg = jnp.repeat(rows[:, s : s + TILE_W], out_h, axis=0)  # (C*out_h, 128)
+        v = jnp.take_along_axis(seg, jnp.clip(idx - s, 0, TILE_W - 1), axis=1)
+        out = v if out is None else jnp.where(idx >= s, v, out)
+    return out.reshape(C, out_h, TILE_W)
 
 
-def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W):
+def _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit):
+    """Shared row sweep for the static kernels.
+
+    Walks the window rows once, reusing each row's gathers as both the
+    'bottom' of row pair w-1 and the 'top' of row pair w (halves the gather
+    count), with all channels served per gather.  Calls
+    `emit(w, hit, va0, va1, vb0, vb1, wx, wy)` for each row pair, where the
+    v* are (C, out_h, TILE_W)."""
     C = src_win_ref.shape[1]
-    xr, yr, wx, wy = _static_tile_coords(coords_ref, H, W)
+    win_h = out_h + 2 * TILE_H
+    xr, yr, wx, wy = _static_tile_coords(coords_ref, H, W, out_h)
+    xr1 = jnp.minimum(xr + 1, SWIN_W - 1)
+    b0 = _row_gather_all_channels(src_win_ref, 0, xr, C)
+    b1 = _row_gather_all_channels(src_win_ref, 0, xr1, C)
+    for w in range(win_h - 1):
+        a0, a1 = b0, b1
+        b0 = _row_gather_all_channels(src_win_ref, w + 1, xr, C)
+        b1 = _row_gather_all_channels(src_win_ref, w + 1, xr1, C)
+        emit(w, yr == w, a0, a1, b0, b1, wx, wy)
+    return wx, wy
+
+
+def _warp_kernel_static(src_win_ref, coords_ref, out_ref, *, H, W, out_h):
+    C = src_win_ref.shape[1]
+    acc = [jnp.zeros((C, out_h, TILE_W), jnp.float32)]
+
+    def emit(w, hit, a0, a1, b0, b1, wx, wy):
+        top = a0 * (1 - wx) + a1 * wx
+        bot = b0 * (1 - wx) + b1 * wx
+        acc[0] = jnp.where(hit, top * (1 - wy) + bot * wy, acc[0])
+
+    _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit)
+    out_ref[0] = acc[0]
+
+
+def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W, out_h):
     x = coords_ref[0, 0]
     y = coords_ref[0, 1]
 
@@ -304,49 +333,44 @@ def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W):
         tie = ((v == 0.0) | (v == hi)).astype(jnp.float32)
         return inside + 0.5 * tie
 
-    dx = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    dy = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    for c in range(C):
-        window_c = src_win_ref[0, c]
-        gc = g_ref[0, c]
-        ddx = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        ddy = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        for w in range(SWIN_H - 1):
-            va0, va1, vb0, vb1 = _gather_neighbors_wide(window_c, xr, w, SWIN_W)
-            hit = yr == w
-            ddx = jnp.where(
-                hit, gc * ((va1 - va0) * (1 - wy) + (vb1 - vb0) * wy), ddx
-            )
-            ddy = jnp.where(
-                hit, gc * ((vb0 - va0) * (1 - wx) + (vb1 - va1) * wx), ddy
-            )
-        dx = dx + ddx
-        dy = dy + ddy
-    dcoords_ref[0, 0] = dx * live(x, W - 1)
-    dcoords_ref[0, 1] = dy * live(y, H - 1)
+    g = g_ref[0]  # (C, out_h, TILE_W)
+    dx = [jnp.zeros((out_h, TILE_W), jnp.float32)]
+    dy = [jnp.zeros((out_h, TILE_W), jnp.float32)]
+
+    def emit(w, hit, a0, a1, b0, b1, wx, wy):
+        ddx = (g * ((a1 - a0) * (1 - wy) + (b1 - b0) * wy)).sum(axis=0)
+        ddy = (g * ((b0 - a0) * (1 - wx) + (b1 - a1) * wx)).sum(axis=0)
+        dx[0] = jnp.where(hit, ddx, dx[0])
+        dy[0] = jnp.where(hit, ddy, dy[0])
+
+    _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit)
+    dcoords_ref[0, 0] = dx[0] * live(x, W - 1)
+    dcoords_ref[0, 1] = dy[0] * live(y, H - 1)
 
 
-def _static_specs(B, H, W, C, out_channels):
+def _static_specs(B, H, W, C, out_channels, out_h):
     from jax._src.pallas.core import Element
 
+    win_h = out_h + 2 * TILE_H
+
     def win_index(b, i, j):
-        ys, xs = _window_origin(i, j, H, W)
+        ys, xs = _window_origin(i, j, H, W, out_h)
         return (b, 0, ys, xs)
 
     return dict(
-        grid=(B, H // TILE_H, W // TILE_W),
+        grid=(B, H // out_h, W // TILE_W),
         in_specs=[
             # Mosaic requires all-or-none Element dims in a BlockSpec
             pl.BlockSpec(
-                (Element(1), Element(C), Element(SWIN_H), Element(SWIN_W)),
+                (Element(1), Element(C), Element(win_h), Element(SWIN_W)),
                 win_index,
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, 2, TILE_H, TILE_W), lambda b, i, j: (b, 0, i, j),
+            pl.BlockSpec((1, 2, out_h, TILE_W), lambda b, i, j: (b, 0, i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, out_channels, TILE_H, TILE_W), lambda b, i, j: (b, 0, i, j),
+            (1, out_channels, out_h, TILE_W), lambda b, i, j: (b, 0, i, j),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -355,10 +379,11 @@ def _static_specs(B, H, W, C, out_channels):
 def _pallas_warp_static_impl(src, coords, interpret):
     B, H, W, C = src.shape
     assert H % TILE_H == 0 and W % TILE_W == 0, (H, W)
-    assert H >= SWIN_H and W >= SWIN_W, (H, W)
-    spec = _static_specs(B, H, W, C, C)
+    assert H >= 3 * TILE_H and W >= SWIN_W, (H, W)
+    out_h = _pick_out_h(H)
+    spec = _static_specs(B, H, W, C, C, out_h)
     out = pl.pallas_call(
-        partial(_warp_kernel_static, H=H, W=W),
+        partial(_warp_kernel_static, H=H, W=W, out_h=out_h),
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
         interpret=interpret,
         **spec,
@@ -370,8 +395,8 @@ def _pallas_warp_static_impl(src, coords, interpret):
 def pallas_warp_static(src: jax.Array, coords: jax.Array, interpret: bool = False):
     """Bilinear warp via the STATIC-window Pallas kernel (no in-kernel
     dynamic addressing — compiles on toolchains whose Mosaic rejects dynamic
-    `pl.ds`).  Exact for displacements within (MARGIN_Y, MARGIN_X) px of the
-    output pixel; beyond that the source clamps to the tile's window."""
+    `pl.ds`).  Exact for displacements within one (8, 128) tile of
+    the output block; beyond that the source clamps to the block's window."""
     return _pallas_warp_static_impl(src, coords, interpret)
 
 
@@ -382,13 +407,14 @@ def _static_fwd(src, coords, interpret):
 def _static_bwd(interpret, residuals, g):
     src, coords = residuals
     B, H, W, C = src.shape
-    spec = _static_specs(B, H, W, C, 2)
+    out_h = _pick_out_h(H)
+    spec = _static_specs(B, H, W, C, 2, out_h)
     spec["in_specs"].append(
-        pl.BlockSpec((1, C, TILE_H, TILE_W), lambda b, i, j: (b, 0, i, j),
+        pl.BlockSpec((1, C, out_h, TILE_W), lambda b, i, j: (b, 0, i, j),
                      memory_space=pltpu.VMEM)
     )
     dcoords = pl.pallas_call(
-        partial(_grad_kernel_static, H=H, W=W),
+        partial(_grad_kernel_static, H=H, W=W, out_h=out_h),
         out_shape=jax.ShapeDtypeStruct((B, 2, H, W), jnp.float32),
         interpret=interpret,
         **spec,
