@@ -48,7 +48,9 @@ def _run(name, cfg, dataset):
         if slam.depth_error
         else float("nan")
     )
-    fps = len(slam.step_times) / max(sum(slam.step_times), 1e-9)
+    # steady-state fps: the first steps carry jit compiles
+    warm = slam.step_times[5:] or slam.step_times
+    fps = len(warm) / max(sum(warm), 1e-9)
     print(
         f"{name:38s} ATE={ate:7.2f}m rel_trans={rel_t:.3f}m "
         f"abs_rel={abs_rel:.3f} loops={slam.pose_graph.num_loop_closures} "
@@ -103,11 +105,19 @@ def main(argv=None) -> int:
          base_cfg("r3", use_expert=True, generalist_interval=5), world())
     _run("rung 4: + loop closures + PGO",
          base_cfg("r4", do_loop_closures=True), world())
-    chained = ChainedDataset([world(seed=7, frames=args.frames // 2),
-                              world(seed=11, frames=args.frames // 2)])
+    def chained():
+        return ChainedDataset([world(seed=7, frames=args.frames // 2),
+                               world(seed=11, frames=args.frames // 2)])
+
     cfg5 = base_cfg("r5", async_adaptation=True)
-    cfg5.dataset.num_frames = len(chained)
-    _run("rung 5: CoVIO async, 2-domain chain", cfg5, chained)
+    cfg5.dataset.num_frames = args.frames
+    _run("rung 5: CoVIO async, 2-domain chain", cfg5, chained())
+    # sync ablation of the SAME workload: the async decoupling's throughput
+    # win is async-vs-sync at equal batch/replay config (rung 2 is a
+    # different, cheaper workload: batch-1, no replay)
+    cfg5s = base_cfg("r5_sync")
+    cfg5s.dataset.num_frames = args.frames
+    _run("rung 5 sync ablation (same config)", cfg5s, chained())
     return 0
 
 
