@@ -160,3 +160,39 @@ def test_concat_batches_uniform_weights(rng):
     np.testing.assert_allclose(
         np.asarray(p.weights), [1 / 3, 1 / 3, 1 / 3, 0, 0], atol=1e-6
     )
+
+
+def test_adapt_step_returns_last_iteration_forward(setup, rng):
+    """Reference semantics (adapt, depth_pose_prediction.py:291-319): the
+    returned outputs come from the forward computed with post-(K-1)-update
+    weights — for K=1 that is the INITIAL parameters, so the pose must equal
+    a plain forward with them (pose is noise-independent)."""
+    from tpuslam.train import forward
+
+    model, variables = setup
+    cfg = LossConfig(scales=(0, 1))
+    tx = make_adapt_optimizer(variables["params"], learning_rate=1e-4)
+    state = make_train_state(variables["params"], variables["batch_stats"], tx)
+    training = concat_batches(_batch(rng, 1), _batch(rng, 2))
+
+    _, losses, outputs = adapt_step(
+        model, tx, cfg, state, None, training, num_steps=1
+    )
+    _, ref_outputs, _ = forward(
+        model, variables["params"], variables["batch_stats"], training, cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(outputs[("cam_T_cam", 0, 1)]),
+        np.asarray(ref_outputs[("cam_T_cam", 0, 1)]),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outputs[("depth", 0)]),
+        np.asarray(ref_outputs[("depth", 0)]),
+        atol=1e-5,
+    )
+    # warped images are intentionally dropped from the adapt outputs
+    assert not any(k[0] == "rgb" for k in outputs)
+    # embeddings ride the dispatch and are L2-normalised
+    emb = np.asarray(outputs[("embedding",)])
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
