@@ -39,7 +39,8 @@ def build_dataset(cfg, split: str):
 
         return SyntheticDataset(
             num_frames=dc.num_frames, height=dc.height, width=dc.width,
-            trajectory=dc.trajectory, do_augmentation=(split == "train"),
+            trajectory=dc.trajectory, speed=dc.speed,
+            do_augmentation=(split == "train"),
             seed=0 if split == "train" else 1,
         )
     raise ValueError(f"unsupported dataset {dc.dataset}")

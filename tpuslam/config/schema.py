@@ -26,6 +26,7 @@ class DatasetConfig:
     # synthetic-only knobs
     num_frames: int = 128
     trajectory: str = "curve"
+    speed: float = 1.0  # meters / frame along the trajectory
     config_file: Optional[Path] = None
 
 

@@ -132,6 +132,7 @@ class Slam:
                 height=dc.height,
                 width=dc.width,
                 trajectory=dc.trajectory,
+                speed=dc.speed,
             )
         else:
             raise ValueError(f"unsupported dataset type {dc.dataset}")

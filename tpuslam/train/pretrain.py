@@ -266,6 +266,7 @@ class Pretrainer:
                            for k, v in record.items()))
             if log_fn is not None:
                 log_fn(record)
-        if save_frequency > -1:
-            self.save()
+        # the reference always saves the final model regardless of the
+        # periodic save frequency (depth_pose_prediction.py:287-289)
+        self.save()
         return self
