@@ -196,3 +196,23 @@ def test_adapt_step_returns_last_iteration_forward(setup, rng):
     # embeddings ride the dispatch and are L2-normalised
     emb = np.asarray(outputs[("embedding",)])
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
+
+
+def test_bfloat16_conv_path_smoke(rng):
+    """dtype='bfloat16' conv path: forward + fused adapt run and stay finite
+    (geometry/losses stay f32 — only the conv compute drops precision)."""
+    import jax.numpy as jnp
+
+    model, variables = init_depth_pose(
+        jax.random.PRNGKey(0), height=H, width=W, dtype=jnp.bfloat16
+    )
+    cfg = LossConfig(scales=(0, 1))
+    tx = make_adapt_optimizer(variables["params"], learning_rate=1e-4)
+    state = make_train_state(variables["params"], variables["batch_stats"], tx)
+    training = concat_batches(_batch(rng, 1), _batch(rng, 2))
+    state, losses, outputs = adapt_step(
+        model, tx, cfg, state, None, training, num_steps=2
+    )
+    assert np.isfinite(float(losses["loss"]))
+    assert np.isfinite(np.asarray(outputs[("depth", 0)])).all()
+    assert outputs[("cam_T_cam", 0, 1)].dtype == jnp.float32  # geometry stays f32
