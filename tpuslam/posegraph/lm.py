@@ -307,6 +307,12 @@ def pad_graph(
     if points is None or len(points) == 0:
         pt = _empty_points()
     else:
+        if point_fixed is None:
+            point_fixed = np.zeros(len(points), bool)
+        if pp_edges is None:
+            pp_edges = np.zeros((0, 2), np.int32)
+            pp_measurements = np.zeros((0, 3), np.float32)
+            pp_information = np.zeros((0, 3, 3), np.float32)
         p, q = len(points), len(pp_edges)
         if p > point_bucket or q > pp_edge_bucket:
             raise ValueError("point bucket too small")
