@@ -62,3 +62,31 @@ class LoopClosureDetection:
         a = normalize_l2(np.asarray(embedding_0, np.float32).reshape(-1))
         b = normalize_l2(np.asarray(embedding_1, np.float32).reshape(-1))
         return float(a @ b)
+
+    def display_matches(
+        self,
+        frame_id: int,
+        image,
+        match_ids,
+        match_images,
+        similarities=None,
+        filename=None,
+    ):
+        """Debug figure(s) of a query frame against its matches (reference
+        display_matches, loop_closure_detection.py:85-110) — one panel per
+        match via viz.plot_image_matches."""
+        from tpuslam.viz.plots import plot_image_matches
+
+        outs = []
+        for k, (mid, mimg) in enumerate(zip(match_ids, match_images)):
+            sim = None if similarities is None else similarities[k]
+            out = None
+            if filename is not None:
+                from pathlib import Path
+
+                f = Path(filename)
+                out = f.with_name(f"{f.stem}_{frame_id}_{mid}{f.suffix}")
+            outs.append(
+                plot_image_matches(image, mimg, frame_id, mid, sim, out)
+            )
+        return outs

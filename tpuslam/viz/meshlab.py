@@ -22,6 +22,12 @@ class MeshlabExporter:
     def _num_points(self) -> int:
         return sum(len(b) for b in self._points)
 
+    def clear(self) -> None:
+        """Drop all accumulated geometry (reference MeshlabInf.clear)."""
+        self._points.clear()
+        self._lines.clear()
+        self._faces.clear()
+
     def add_points(
         self, points: np.ndarray, color: Optional[np.ndarray] = None
     ) -> None:

@@ -128,3 +128,14 @@ def plot_image_matches(
     plt.savefig(out, bbox_inches="tight")
     plt.close(fig)
     return out
+
+
+def h_concat_images(im1, im2):
+    """Horizontally concatenate two PIL images (reference
+    depth_pose_prediction/utils.py:150-156)."""
+    from PIL import Image
+
+    dst = Image.new("RGB", (im1.width + im2.width, im1.height))
+    dst.paste(im1, (0, 0))
+    dst.paste(im2, (im1.width, 0))
+    return dst
