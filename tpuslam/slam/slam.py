@@ -599,6 +599,24 @@ class Slam:
             pickle.dump(data, f)
         return path
 
+    def plot_trajectory(self, filename=None):
+        """Top-down predicted-vs-GT trajectory PNG (+ .npy dumps) — reference
+        Slam.plot_trajectory (slam/slam.py:318-334)."""
+        from tpuslam.viz.plots import plot_trajectory
+
+        return plot_trajectory(
+            self, filename or self.log_path / f"trajectory_{self.current_step}.png"
+        )
+
+    def plot_metrics(self, filename=None):
+        """Metric panel PNG (losses, rel errors, depth metrics) — reference
+        Slam.plot_metrics (slam/slam.py:336-391)."""
+        from tpuslam.viz.plots import plot_metrics
+
+        return plot_metrics(
+            self, filename or self.log_path / f"metrics_{self.current_step}.png"
+        )
+
     def save_model(self) -> None:
         from tpuslam.checkpoint.io import save_checkpoint
 
