@@ -98,6 +98,10 @@ class SlamConfig:
     min_distance: float = 0.2
     start_frame: int = 0
     logging: bool = True
+    # periodic trajectory/metric plots + pose-graph OBJ export inside the
+    # loop (reference slam/slam.py:272-278 does this every 100 steps);
+    # 0 disables
+    plot_frequency: int = 100
     do_loop_closures: bool = True
     keyframe_frequency: int = 5
     lc_distance_poses: int = 150

@@ -91,6 +91,7 @@ class Slam:
         self.min_distance = sc.min_distance
         self.start_frame = sc.start_frame
         self.logging = sc.logging
+        self.plot_frequency = sc.plot_frequency
         self.do_loop_closures = sc.do_loop_closures
         self.keyframe_frequency = sc.keyframe_frequency
         self.lc_distance_poses = sc.lc_distance_poses
@@ -525,6 +526,21 @@ class Slam:
                         max_depth=self.loss_cfg.max_depth,
                     )
                 )
+        # periodic visual checkpoints (reference slam/slam.py:272-278)
+        if (
+            self.logging
+            and self.plot_frequency > 0
+            and self.current_step % self.plot_frequency == 0
+        ):
+            try:
+                self.plot_trajectory()
+                self.plot_metrics()
+                self.pose_graph.visualize_in_meshlab(
+                    self.log_path / f"pose_graph_{self.current_step}.obj",
+                    verbose=False,
+                )
+            except Exception as e:  # plotting must never kill the run
+                print(f"periodic plotting skipped: {e}")
         self.step_times.append(time.perf_counter() - t_start)
         return losses_out
 
