@@ -1,6 +1,9 @@
 import json
 import time
 
+import numpy as np
+import pytest
+
 from tpuslam.utils import MetricsLogger, StepTimer
 
 
@@ -22,3 +25,13 @@ def test_metrics_logger_jsonl(tmp_path):
     assert len(lines) == 2
     rec = json.loads(lines[1])
     assert rec["loss"] == 0.4 and rec["step"] == 2 and "ts" in rec
+
+
+@pytest.mark.slow
+def test_profile_adapt_step_tiny():
+    from tpuslam.utils.profiling import profile_adapt_step
+
+    out = profile_adapt_step(height=32, width=64, batch_size=2,
+                             iters=(1, 2), repeats=2)
+    assert out["ms_per_iter"] > 0
+    assert np.isfinite(out["ms_frame_K5"]) and out["fps_K5"] > 0

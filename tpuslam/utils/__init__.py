@@ -1,3 +1,8 @@
-from tpuslam.utils.profiling import MetricsLogger, StepTimer, trace
+from tpuslam.utils.profiling import (
+    MetricsLogger,
+    StepTimer,
+    profile_adapt_step,
+    trace,
+)
 
-__all__ = ["MetricsLogger", "StepTimer", "trace"]
+__all__ = ["MetricsLogger", "StepTimer", "profile_adapt_step", "trace"]

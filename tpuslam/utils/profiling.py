@@ -90,3 +90,85 @@ class MetricsLogger:
     def finish(self) -> None:
         if self._wandb is not None:
             self._wandb.finish()
+
+
+def profile_adapt_step(
+    height: int = 192,
+    width: int = 640,
+    batch_size: int = 3,
+    iters=(1, 5, 10),
+    repeats: int = 8,
+    use_pallas_warp: bool = True,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Fixed-cost / per-iteration split of the fused adapt step by K-sweep.
+
+    Runs `adapt_step` at each K in `iters` with chained state (true device
+    dependency; a final scalar readback syncs — `block_until_ready` is
+    unreliable on some relay backends) and fits ms_fixed + K * ms_per_iter.
+    The fixed part is the hoisted frozen-encoder forwards + embeddings +
+    dispatch; the slope is decoder fwd+bwd + warp + loss + Adam.
+
+    Returns {"ms_fixed", "ms_per_iter", "ms_frame_K5", "fps_K5"}.
+    """
+    import jax
+    import numpy as np
+
+    from tpuslam.models import init_depth_pose
+    from tpuslam.train import (
+        LossConfig,
+        adapt_step,
+        concat_batches,
+        make_adapt_optimizer,
+        make_frame_batch,
+        make_train_state,
+    )
+
+    rng = np.random.default_rng(seed)
+    model, variables = init_depth_pose(
+        jax.random.PRNGKey(seed), height=height, width=width
+    )
+    K = np.array(
+        [[0.58 * width, 0, 0.5 * width, 0], [0, 1.92 * height, 0.5 * height, 0],
+         [0, 0, 1, 0], [0, 0, 0, 1]], np.float32,
+    )
+
+    def batch(n):
+        return make_frame_batch(
+            rng.uniform(size=(n, 3, height, width, 3)).astype(np.float32),
+            K,
+            rng.uniform(0.5, 2.0, size=(n, 2)).astype(np.float32),
+        )
+
+    training = concat_batches(batch(1), batch(batch_size - 1)) \
+        if batch_size > 1 else batch(1)
+    cfg = LossConfig(use_pallas_warp=use_pallas_warp)
+    tx = make_adapt_optimizer(variables["params"], 1e-4)
+
+    times = {}
+    for k in iters:
+        state = make_train_state(variables["params"], variables["batch_stats"], tx)
+        for _ in range(2):  # compile + warm
+            state, losses, _ = adapt_step(
+                model, tx, cfg, state, None, training, num_steps=k
+            )
+        float(losses["loss"])
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            state, losses, _ = adapt_step(
+                model, tx, cfg, state, None, training, num_steps=k
+            )
+        float(losses["loss"])
+        times[k] = (time.perf_counter() - t0) / repeats * 1e3
+
+    ks = np.array(list(times.keys()), np.float64)
+    ts = np.array(list(times.values()), np.float64)
+    slope, intercept = np.polyfit(ks, ts, 1)
+    frame5 = intercept + 5 * slope
+    return {
+        "ms_fixed": float(intercept),
+        "ms_per_iter": float(slope),
+        "ms_frame_K5": float(frame5),
+        "fps_K5": float(1000.0 / frame5),
+        **{f"ms_K{k}": float(v) for k, v in times.items()},
+    }
