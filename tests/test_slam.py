@@ -271,3 +271,20 @@ def test_slam_similarity_sampling_path(tmp_path):
         losses = slam.step()
     assert np.isfinite(losses["loss"])
     assert len(slam.replay_buffer) >= 3
+
+
+@pytest.mark.slow
+def test_slam_async_with_loop_closures(tmp_path):
+    """CoVIO async + LC + PGO together: serving params drive the LC pose
+    predictions while updates stream in the background."""
+    cfg = _config(tmp_path, async_adaptation=True, do_loop_closures=True)
+    cfg.dataset.trajectory = "loop"
+    slam = Slam(cfg)
+    for _ in range(8):
+        losses = slam.step()
+    slam.finish_async()
+    assert np.isfinite(losses["loss"])
+    assert slam.async_updates_launched >= 1
+    assert len(slam.pose_graph.vertex_ids) == 9
+    # the LC index grew every frame
+    assert len(slam.loop_closure_detection) == 8
