@@ -34,6 +34,16 @@ Two variants:
   (BASELINE.md).  Exact for displacements within one tile (>=8 rows /
   >=128 cols of margin); beyond that the source clamps to the window edge.
   Enabled via `LossConfig.use_pallas_warp` / `DepthPoseConfig.pallas_warp`.
+
+Tuning notes for other silicon (measured on the dev attachment):
+* the row sweep is VPU-bound, not DMA-bound — taller output blocks (which
+  cut the window read amplification 9x -> 4x) measured SLOWER (out_h 8/16/24
+  = 13.5/15/18 ms fwd+bwd at 24x192x640), so out_h stays 8;
+* a further untried lever: order the warp batch [sample][frame][scale] and
+  make the grid batch-innermost so consecutive grid steps share the same
+  window block index — the pipeline skips re-issuing DMAs for unchanged
+  block indices, cutting window traffic S-fold (only worth it if DMA ever
+  becomes the bound on real silicon).
 """
 from __future__ import annotations
 
