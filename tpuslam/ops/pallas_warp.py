@@ -39,11 +39,11 @@ Tuning notes for other silicon (measured on the dev attachment):
 * the row sweep is VPU-bound, not DMA-bound — taller output blocks (which
   cut the window read amplification 9x -> 4x) measured SLOWER (out_h 8/16/24
   = 13.5/15/18 ms fwd+bwd at 24x192x640), so out_h stays 8;
-* a further untried lever: order the warp batch [sample][frame][scale] and
-  make the grid batch-innermost so consecutive grid steps share the same
-  window block index — the pipeline skips re-issuing DMAs for unchanged
-  block indices, cutting window traffic S-fold (only worth it if DMA ever
-  becomes the bound on real silicon).
+* window-DMA dedup (operand deduplicated to the distinct source images,
+  batch-innermost grid so consecutive steps share the window block index
+  and the pipeline skips re-issuing the DMA) was measured: bit-identical,
+  6.9 vs 7.0 ms forward — NO gain on this attachment, confirming the VPU
+  sweep, not DMA, is the bound.  Re-measure before reviving it elsewhere.
 """
 from __future__ import annotations
 
