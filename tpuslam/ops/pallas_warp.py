@@ -359,7 +359,7 @@ def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W, ou
 
 
 def _static_specs(B, H, W, C, out_channels, out_h):
-    from jax._src.pallas.core import Element
+    from jax.experimental.pallas import Element
 
     win_h = out_h + 2 * TILE_H
 

@@ -54,11 +54,6 @@ class FrameBatch(struct.PyTreeNode):
             img = img.astype(jnp.float32) / 255.0
         return img
 
-    def frame_raw(self, frame_id: int) -> jax.Array:
-        """Raw stored frame (possibly uint8) — warp-gather source: the
-        sampler gathers uint8 directly, quartering the gather traffic."""
-        return self.rgb[:, FRAME_AXIS.index(frame_id)]
-
     def first(self, n: int = 1) -> "FrameBatch":
         """Leading-sample slice with renormalised weights (used to derive the
         online/eval sub-batch from a combined batch on device)."""

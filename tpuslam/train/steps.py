@@ -73,6 +73,11 @@ class LossConfig(NamedTuple):
     # min-reprojection auto-mask discards anyway, and the end-to-end SLAM
     # quality A/B matched (BASELINE.md round 2).
     use_pallas_warp: bool = True
+    # Anti-collapse log-mean-disparity prior (losses/photometric.py) for
+    # low-parallax pretraining; 0 disables.  The Pretrainer activates it for
+    # the first `scale_prior_epochs` epochs only.
+    scale_prior_weight: float = 0.0
+    scale_prior_disp: float = 0.15
 
 
 def _avg_pool2(x: jax.Array) -> jax.Array:
@@ -236,6 +241,8 @@ def warp_and_loss(
         rng=rng,
         dynamic_masks=dynamic_masks,
         identity_base=identity_base,
+        scale_prior_weight=cfg.scale_prior_weight,
+        scale_prior_disp=cfg.scale_prior_disp,
     )
     return losses, outputs
 
@@ -319,6 +326,12 @@ def _adapt_scan(
     With frozen encoders the encoder forwards, the identity reprojection
     term and the target pyramid are loop-invariant and hoisted out of the
     scan (~40% of the per-iteration FLOPs)."""
+    if num_steps < 1:
+        # A zero-length scan would return the all-zero init carry — including
+        # a singular cam_T_cam that SLAM would then invert.  Callers wanting
+        # inference-only must use eval_step (slam/slam.py routes there when
+        # adaptation is off).
+        raise ValueError(f"adaptation requires num_steps >= 1, got {num_steps}")
     frozen_feat4 = None
     if freeze_encoder:
         depth_feats, pose_feat = _frozen_features(
@@ -514,11 +527,14 @@ def eval_step(
     losses, outputs, _ = forward(model, params, batch_stats, batch, cfg, train_bn=False)
     outputs[("embedding",)] = l2_normalize(outputs[("feat4",)])
     if with_lc_embedding:
-        _, lc_feat = model.apply(
+        # encoder only — the embedding is the pooled stage-4 feature, so the
+        # decoder forward would be pure waste on this inference-only hot path
+        # (the async/frozen SLAM modes run eval_step every frame)
+        lc_feat = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch.frame(1),
-            method=DepthPoseNet.depth_forward,
-        )
+            method=DepthPoseNet.depth_encode,
+        )[-1].mean(axis=(1, 2))
         outputs[("lc_embedding",)] = l2_normalize(lc_feat)
     return losses, outputs
 
