@@ -117,6 +117,85 @@ def _import_pose_decoder(state: Dict[str, Any]) -> Dict:
     return params
 
 
+def import_torchvision_resnet(
+    state: Dict[str, Any], num_input_images: int = 1
+) -> Tuple[Dict, Dict]:
+    """Bare torchvision ResNet (ImageNet classifier) state dict ->
+    (params, batch_stats) subtree for one `ResNetEncoder`.
+
+    This is how the reference actually starts pretraining: its encoders are
+    built with `pretrained=True`, and the multi-image pose stem replicates
+    the ImageNet conv1 kernel across the stacked input images and divides by
+    their count so activations keep the single-image magnitude
+    (/root/reference/depth_pose_prediction/networks/resnet_encoder.py:47-76,
+    :100-109).  Classifier keys (`fc.*`) are ignored.
+    """
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    params, stats = _import_resnet(state, prefix="")
+    if num_input_images > 1:
+        k = params["conv1"]["kernel"]  # HWIO — input channels on axis 2
+        params["conv1"]["kernel"] = (
+            np.concatenate([k] * num_input_images, axis=2) / num_input_images
+        ).astype(np.float32)
+    return params, stats
+
+
+def load_imagenet_encoders(
+    path: Path, num_pose_images: int = 2
+) -> Tuple[Dict, Dict]:
+    """torchvision ResNet `.pth` -> {depth_encoder, pose_encoder} subtrees.
+
+    One ImageNet checkpoint initialises BOTH encoders like the reference's
+    `ResnetEncoder(num_layers, pretrained=True)` does for depth (1 image) and
+    pose (2 stacked images, conv1 replicated/averaged).  Merge the returned
+    trees into `DepthPoseNet` variables before training.
+    """
+    state = _load_pth(Path(path))
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    d_params, d_stats = import_torchvision_resnet(state, num_input_images=1)
+    p_params, p_stats = import_torchvision_resnet(
+        state, num_input_images=num_pose_images
+    )
+    return (
+        {"depth_encoder": d_params, "pose_encoder": p_params},
+        {"depth_encoder": d_stats, "pose_encoder": p_stats},
+    )
+
+
+def init_encoders_from_imagenet(
+    variables: Dict[str, Any], encoder_weights, required: bool = False
+) -> Dict[str, Any]:
+    """Replace the encoder subtrees of `DepthPoseNet` variables with
+    ImageNet-initialised ones (reference `pretrained=True` semantics).
+
+    No-op when `encoder_weights` is None unless `required` (the
+    `resnet_pretrained` knob), which then raises — there is no network
+    egress to fetch torchvision weights from, so a local .pth is mandatory.
+    """
+    if encoder_weights is None:
+        if required:
+            raise FileNotFoundError(
+                "resnet_pretrained=True requires encoder_weights pointing at "
+                "a local torchvision ResNet .pth (this environment has no "
+                "network egress to download ImageNet weights)"
+            )
+        return variables
+    enc_params, enc_stats = load_imagenet_encoders(encoder_weights)
+    for net in ("depth_encoder", "pose_encoder"):
+        have = variables["params"][net]["conv1"]["kernel"].shape
+        got = enc_params[net]["conv1"]["kernel"].shape
+        if tuple(have) != tuple(got):
+            raise ValueError(
+                f"{net} conv1 shape mismatch: model {tuple(have)} vs "
+                f"checkpoint {tuple(got)} — wrong ResNet depth or stem width?"
+            )
+    params = {**variables["params"], **enc_params}
+    stats = {**variables["batch_stats"], **enc_stats}
+    return {**variables, "params": params, "batch_stats": stats}
+
+
 def import_mobilenet_v3_small(state: Dict[str, Any]) -> Tuple[Dict, Dict]:
     """torchvision mobilenet_v3_small state dict -> (params, batch_stats)
     trees for `tpuslam.models.embedder.MobileNetV3SmallEmbedder`.

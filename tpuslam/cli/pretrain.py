@@ -71,6 +71,11 @@ def main(argv=None) -> int:
         mask_dynamic=pc.mask_dynamic,
         log_path=pc.log_path,
         dp_devices=args.dp if args.dp is not None else pc.dp_devices,
+        encoder_weights=pc.encoder_weights,
+        resnet_pretrained=pc.resnet_pretrained,
+        scale_prior_epochs=pc.scale_prior_epochs,
+        scale_prior_weight=pc.scale_prior_weight,
+        dtype=pc.dtype,
     )
     train_ds = build_dataset(cfg, "train")
     try:
@@ -85,6 +90,9 @@ def main(argv=None) -> int:
         save_frequency=pc.save_frequency,
         validate=val_ds is not None,
         depth_error=val_ds is not None,
+        save_val_depth=(
+            pc.save_val_depth_batches * pc.batch_size if pc.save_val_depth else 0
+        ),
     )
     return 0
 

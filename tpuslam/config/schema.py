@@ -36,7 +36,13 @@ class DepthPoseConfig:
     val_set: Optional[Union[Tuple, int, str]] = 0
     resnet_depth: int = 18
     resnet_pose: int = 18
-    resnet_pretrained: bool = False  # no ImageNet download in zero-egress envs
+    # ImageNet-initialised encoders like the reference's pretrained=True
+    # (resnet_encoder.py:47-76): set encoder_weights to a local torchvision
+    # ResNet .pth (no download in zero-egress envs) — conv1 is replicated/
+    # averaged for the 2-image pose stem.  resnet_pretrained=True makes a
+    # missing/invalid encoder_weights a hard error instead of a warning.
+    resnet_pretrained: bool = False
+    encoder_weights: Optional[Path] = None
     scales: Tuple[int, ...] = (0, 1, 2, 3)
     learning_rate: float = 1e-4
     scheduler_step_size: int = 15
@@ -48,6 +54,10 @@ class DepthPoseConfig:
     disparity_smoothness: float = 1e-3
     velocity_loss_scaling: Optional[float] = 0.05
     mask_dynamic: bool = False
+    # anti-collapse disparity prior for the first N pretraining epochs
+    # (0 = off; see losses/photometric.py scale_prior_weight)
+    scale_prior_epochs: int = 0
+    scale_prior_weight: float = 0.01
     log_path: Path = Path("./log/run")
     save_frequency: int = -1
     save_val_depth: bool = False

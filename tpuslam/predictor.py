@@ -68,7 +68,14 @@ class DepthPosePrediction:
             resnet_depth=config.resnet_depth,
             resnet_pose=config.resnet_pose,
             scales=tuple(config.scales),
+            dtype=jnp.dtype(config.dtype),  # conv compute dtype (params stay f32)
         )
+        if config.encoder_weights is not None or config.resnet_pretrained:
+            from tpuslam.checkpoint.torch_import import init_encoders_from_imagenet
+
+            variables = init_encoders_from_imagenet(
+                variables, config.encoder_weights, required=config.resnet_pretrained
+            )
         self.loss_cfg = LossConfig(
             scales=tuple(config.scales),
             min_depth=config.min_depth,
@@ -116,9 +123,13 @@ class DepthPosePrediction:
             mask_dynamic=c.mask_dynamic,
             log_path=c.log_path,
             dp_devices=c.dp_devices,
+            encoder_weights=c.encoder_weights,
+            resnet_pretrained=c.resnet_pretrained,
+            dtype=c.dtype,
         )
         trainer.state = self.state
         log_fn = None
+        logger = None
         if use_wandb:
             from tpuslam.utils.profiling import MetricsLogger
 
@@ -132,6 +143,10 @@ class DepthPosePrediction:
             validate=validate,
             depth_error=depth_error,
             log_fn=log_fn,
+            save_val_depth=(
+                c.save_val_depth_batches * c.batch_size if c.save_val_depth else 0
+            ),
+            image_logger=logger,
         )
         self.state = trainer.state
         self.epoch = trainer.epoch

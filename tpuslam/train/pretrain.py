@@ -18,6 +18,7 @@ import jax
 import numpy as np
 
 from tpuslam.checkpoint.io import save_checkpoint
+from tpuslam.checkpoint.torch_import import init_encoders_from_imagenet
 from tpuslam.data.base import Prefetcher, Sample
 from tpuslam.models import init_depth_pose
 from tpuslam.train.batch import FrameBatch, make_frame_batch
@@ -79,6 +80,11 @@ class Pretrainer:
         dp_devices: int = 1,
         seed: int = 42,
         pallas_warp: bool = False,
+        encoder_weights: Optional[Path] = None,
+        resnet_pretrained: bool = False,
+        scale_prior_epochs: int = 0,
+        scale_prior_weight: float = 0.01,
+        dtype: str = "float32",
     ):
         self.height, self.width = height, width
         self.batch_size = batch_size
@@ -94,6 +100,10 @@ class Pretrainer:
             resnet_depth=resnet_depth,
             resnet_pose=resnet_pose,
             scales=tuple(scales),
+            dtype=jax.numpy.dtype(dtype),
+        )
+        variables = init_encoders_from_imagenet(
+            variables, encoder_weights, required=resnet_pretrained
         )
         self.cfg = LossConfig(
             scales=tuple(scales),
@@ -104,6 +114,12 @@ class Pretrainer:
             mask_dynamic=mask_dynamic,
             use_pallas_warp=pallas_warp,
         )
+        # anti-collapse disparity prior for the first N epochs (BASELINE.md
+        # depth-collapse finding: low-parallax worlds pin the head at the
+        # far-plane optimum; the prior holds mean disparity off zero until
+        # the photometric parallax signal takes over)
+        self.scale_prior_epochs = scale_prior_epochs
+        self._cfg_prior = self.cfg._replace(scale_prior_weight=scale_prior_weight)
         self.tx = make_pretrain_optimizer(learning_rate)
         self.state = make_train_state(
             variables["params"], variables["batch_stats"], self.tx,
@@ -120,10 +136,23 @@ class Pretrainer:
         else:
             self.mesh = None
 
+    def _epoch_cfg(self) -> LossConfig:
+        return (
+            self._cfg_prior
+            if self.epoch <= self.scale_prior_epochs
+            else self.cfg
+        )
+
     def _step(self, batch: FrameBatch):
+        cfg = self._epoch_cfg()
         if self.mesh is not None:
+            if cfg is not getattr(self, "_dp_cfg", None):
+                from tpuslam.parallel import make_dp_train_step
+
+                self._dp_step = make_dp_train_step(self.model, self.tx, cfg, self.mesh)
+                self._dp_cfg = cfg
             return self._dp_step(self.state, self._shard(batch))
-        return train_step(self.model, self.tx, self.cfg, self.state, batch)
+        return train_step(self.model, self.tx, cfg, self.state, batch)
 
     def train_epoch(self, dataset, progress: bool = True) -> float:
         self.epoch += 1
@@ -238,6 +267,47 @@ class Pretrainer:
         out = self.log_path / "panels" / f"epoch_{self.epoch:03d}.png"
         return save_depth_panel(image[0], np.asarray(depth)[0, ..., 0], out)
 
+    def save_prediction(
+        self, dataset, max_samples: int = 4, logger=None
+    ) -> List["Path"]:
+        """Per-sample prediction panels under
+        <log_path>/prediction/val_depth_{epoch:03}/ plus a wandb 'pred_depth'
+        strip — the reference save_prediction
+        (depth_pose_prediction.py:1197-1244), with added disparity and
+        GT/abs-rel rows when the dataset carries GT depth."""
+        import jax.numpy as jnp
+
+        from tpuslam.train.steps import predict_depth_step
+        from tpuslam.viz.plots import save_prediction_panels
+
+        rgbs, disps, depths, gts, indices = [], [], [], [], []
+        for i in range(min(len(dataset), max_samples)):
+            s = dataset[i]
+            image = s.rgb[1][None]
+            depth, _ = predict_depth_step(
+                self.model, self.state.params, self.state.batch_stats,
+                jnp.asarray(image),
+                min_depth=self.cfg.min_depth, max_depth=self.cfg.max_depth,
+            )
+            # recover the sigmoid disparity from the depth mapping for the
+            # panel (exact inverse of disp_to_depth at these knobs)
+            d = np.asarray(depth)[0, ..., 0]
+            rgbs.append(image[0])
+            depths.append(d)
+            disps.append(1.0 / np.maximum(d, 1e-6))
+            gts.append(s.depth)
+            indices.append(i)
+        if not rgbs:
+            return []
+        folder = self.log_path / "prediction" / f"val_depth_{self.epoch:03d}"
+        paths, strip = save_prediction_panels(
+            rgbs, depths, indices, folder, disps=disps,
+            gt_depths=gts if all(g is not None for g in gts) else None,
+        )
+        if logger is not None and strip is not None:
+            logger.log_image("pred_depth", strip, step=self.epoch)
+        return paths
+
     def fit(
         self,
         train_dataset,
@@ -248,17 +318,30 @@ class Pretrainer:
         depth_error: bool = False,
         log_fn: Optional[Callable[[Dict], None]] = None,
         save_panels: bool = False,
+        save_val_depth: int = 0,
+        image_logger=None,
+        val_batches: Optional[int] = None,
     ):
         for _ in range(num_epochs):
             train_loss = self.train_epoch(train_dataset)
             record = {"epoch": self.epoch, "training_loss": train_loss}
             if validate and val_dataset is not None:
-                record["validation_loss"] = self.validate(val_dataset, max_batches=20)
+                # full val split per epoch like the reference
+                # (depth_pose_prediction.py:321-342); cap via val_batches
+                record["validation_loss"] = self.validate(
+                    val_dataset, max_batches=val_batches
+                )
             if depth_error and val_dataset is not None:
                 record.update(self.compute_depth_error(val_dataset))
             if save_panels:
                 self.save_depth_panel(
                     val_dataset if val_dataset is not None else train_dataset
+                )
+            if save_val_depth > 0:
+                self.save_prediction(
+                    val_dataset if val_dataset is not None else train_dataset,
+                    max_samples=save_val_depth,
+                    logger=image_logger,
                 )
             if save_frequency > 0 and self.epoch % save_frequency == 0:
                 self.save()
