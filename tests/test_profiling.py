@@ -35,3 +35,28 @@ def test_profile_adapt_step_tiny():
                              iters=(1, 2), repeats=2)
     assert out["ms_per_iter"] > 0
     assert np.isfinite(out["ms_frame_K5"]) and out["fps_K5"] > 0
+
+
+def test_profile_host_pipeline_tiny():
+    from tpuslam.utils.profiling import profile_host_pipeline
+
+    out = profile_host_pipeline(height=32, width=64, samples=3)
+    assert out["ms_decode"] > 0 and out["ms_batch"] > 0
+    assert out["ms_total_host"] >= out["ms_decode"]
+
+
+def test_calibration_classes_tiny():
+    """One cheap class end-to-end: measured time + XLA cost analysis +
+    roofline columns are populated and sane."""
+    from tpuslam.utils.calibration import calibrate, project_native_fps
+
+    rows = calibrate(height=32, width=128, batch_size=1, repeats=2,
+                     classes=["encoder_fwd", "iter_fwd_bwd", "adam_update"])
+    assert {r["class"] for r in rows} == {
+        "encoder_fwd", "iter_fwd_bwd", "adam_update"
+    }
+    for r in rows:
+        assert r["measured_ms"] > 0
+        assert r["bound"] in ("hbm", "mxu")
+    proj = project_native_fps(rows)
+    assert proj["proj_native_fps"] > 0

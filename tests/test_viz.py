@@ -77,3 +77,29 @@ def test_false_color_range():
     c = false_color(np.array([0.0, 0.5, 1.0]))
     assert c.shape == (3, 3)
     assert c.min() >= 0 and c.max() <= 1
+
+
+def test_save_prediction_panels(tmp_path):
+    """Reference save_prediction parity (depth_pose_prediction.py:1197-1244):
+    per-sample files named {index:05}.png under the epoch folder, plus a
+    horizontally-concatenated review strip; GT row included when given."""
+    from tpuslam.viz.plots import save_prediction_panels
+
+    rng = np.random.default_rng(0)
+    N, H, W = 3, 24, 48
+    rgbs = rng.uniform(size=(N, H, W, 3)).astype(np.float32)
+    depths = rng.uniform(1.0, 50.0, size=(N, H, W)).astype(np.float32)
+    disps = 1.0 / depths
+    gts = rng.uniform(0.0, 60.0, size=(N, H * 2, W * 2)).astype(np.float32)
+
+    folder = tmp_path / "prediction" / "val_depth_001"
+    paths, strip = save_prediction_panels(
+        rgbs, depths, [0, 1, 2], folder, disps=disps, gt_depths=gts
+    )
+    assert [p.name for p in paths] == ["00000.png", "00001.png", "00002.png"]
+    assert all(p.exists() for p in paths)
+    assert strip is not None and strip.size[0] > strip.size[1]
+
+    # without optional rows
+    paths2, strip2 = save_prediction_panels(rgbs[:1], depths[:1], [7], folder)
+    assert paths2[0].name == "00007.png" and strip2 is not None

@@ -1,0 +1,250 @@
+"""Per-op-class device calibration: measured time vs roofline speed-of-light.
+
+The dev TPU attachment (axon relay) runs ~100x slower than native v5e
+silicon, and the slowdown is NOT uniform across op classes — convs, gathers,
+Pallas kernels and elementwise sweeps each carry different relay factors, so
+a single-matmul calibration cannot justify a native-throughput projection.
+This module benchmarks each op class OF THE ADAPT STEP at its real shapes
+(192x640, batch 3), pulls FLOPs/bytes from XLA's cost analysis, and computes
+the v5e speed-of-light time for each:
+
+    sol_ms = max(flops / PEAK_FLOPS, bytes / PEAK_HBM_BW)
+
+The per-class relay factor (= measured_ms / sol_ms) shows how far each class
+is from the hardware ceiling on this attachment; the projected-native table
+entry is the sol time divided by an MXU/VPU efficiency assumption.  Running
+`python -m tpuslam.utils.calibration` prints the table (recorded in
+BASELINE.md).
+
+Timing discipline: chained dependent calls + a scalar readback to sync
+(`block_until_ready` does not block on the relay — CLAUDE.md).
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+# v5e public specs: 197 TFLOP/s bf16 (MXU), ~0.5x for f32 passes, 819 GB/s HBM
+PEAK_FLOPS_BF16 = 197e12
+PEAK_FLOPS_F32 = 98.5e12
+PEAK_HBM_GBS = 819e9
+# realistic sustained efficiency for conv/gather-heavy workloads
+ASSUMED_EFFICIENCY = 0.4
+
+
+def _time_chained(fn, args, repeats: int = 6) -> float:
+    """ms per call, chained through a donated/updated first arg when the fn
+    returns one, else re-invoked on identical inputs; scalar-readback sync."""
+    out = fn(*args)
+    out = fn(*args)  # compile + warm
+
+    def sync(o):
+        leaf = o
+        while isinstance(leaf, (tuple, list, dict)):
+            leaf = list(leaf.values())[0] if isinstance(leaf, dict) else leaf[0]
+        np.asarray(leaf).ravel()[:1]
+
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / repeats * 1e3
+
+
+def _cost(fn, *args) -> Dict[str, float]:
+    """FLOPs and HBM bytes from XLA's compiled cost analysis."""
+    import jax
+
+    try:
+        an = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(an, list):
+            an = an[0]
+        return {
+            "flops": float(an.get("flops", 0.0)),
+            "bytes": float(an.get("bytes accessed", 0.0)),
+        }
+    except Exception:
+        return {"flops": float("nan"), "bytes": float("nan")}
+
+
+def calibrate(
+    height: int = 192,
+    width: int = 640,
+    batch_size: int = 3,
+    repeats: int = 6,
+    seed: int = 0,
+    classes: Optional[List[str]] = None,
+) -> List[Dict]:
+    """Benchmark each adapt-step op class; returns one row dict per class."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpuslam.geometry.camera import bilinear_sampler
+    from tpuslam.models import init_depth_pose
+    from tpuslam.models.depth_pose import DepthPoseNet
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+    from tpuslam.train import (
+        LossConfig,
+        concat_batches,
+        make_adapt_optimizer,
+        make_frame_batch,
+        make_train_state,
+    )
+    from tpuslam.train.steps import _frozen_features, warp_and_loss
+
+    rng = np.random.default_rng(seed)
+    H, W, B = height, width, batch_size
+    model, variables = init_depth_pose(jax.random.PRNGKey(seed), height=H, width=W)
+    params, stats = variables["params"], variables["batch_stats"]
+    Kmat = np.array(
+        [[0.58 * W, 0, 0.5 * W, 0], [0, 1.92 * H, 0.5 * H, 0],
+         [0, 0, 1, 0], [0, 0, 0, 1]], np.float32,
+    )
+
+    def mkbatch(n):
+        return make_frame_batch(
+            rng.uniform(size=(n, 3, H, W, 3)).astype(np.float32),
+            Kmat,
+            rng.uniform(0.5, 2.0, size=(n, 2)).astype(np.float32),
+        )
+
+    training = concat_batches(mkbatch(1), mkbatch(B - 1)) if B > 1 else mkbatch(1)
+    cfg = LossConfig()
+    interpret = jax.default_backend() not in ("tpu",)
+
+    # hoisted features once (inputs for the decoder classes)
+    depth_feats, pose_feat = _frozen_features(model, params, stats, training)
+    depth_feats = [jnp.asarray(f) for f in depth_feats]
+
+    # decoder fwd
+    def dec_fwd(params):
+        vs = {"params": params, "batch_stats": stats}
+        disps = model.apply(vs, depth_feats, method=DepthPoseNet.depth_decode)
+        aa, tr = model.apply(vs, pose_feat, method=DepthPoseNet.pose_decode)
+        return disps[("disp", 0)].sum() + aa.sum() + tr.sum()
+
+    # decoder+warp+loss fwd/bwd — the whole per-iteration slope
+    def iter_fwd_bwd(params):
+        def loss_fn(p):
+            vs = {"params": p, "batch_stats": stats}
+            disps = model.apply(vs, depth_feats, method=DepthPoseNet.depth_decode)
+            aa, tr = model.apply(vs, pose_feat, method=DepthPoseNet.pose_decode)
+            losses, _ = warp_and_loss(disps, aa, tr, training, cfg, rng=None)
+            return losses["loss"]
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    # encoders (frozen, once per frame)
+    def encoders(p):
+        df, pf = _frozen_features(model, p, stats, training)
+        return df[-1].sum() + pf.sum()
+
+    # warp kernels at the real fused shape (2 frames x 4 scales x B)
+    src = jnp.asarray(
+        rng.uniform(size=(8 * B, H, W, 3)).astype(np.float32)
+    )
+    coords = jnp.asarray(
+        (rng.uniform(size=(8 * B, H, W, 2)) * [W - 1, H - 1]).astype(np.float32)
+    )
+
+    def warp_pallas_fb(src, coords):
+        def f(c):
+            return pallas_warp_static(src, c, interpret).sum()
+
+        return jax.value_and_grad(f)(coords)
+
+    def warp_xla_fb(src, coords):
+        def f(c):
+            return bilinear_sampler(src, c).sum()
+
+        return jax.value_and_grad(f)(coords)
+
+    # Adam update on the decoder-masked tree (the adapt optimizer)
+    tx = make_adapt_optimizer(params, 1e-4)
+    state = make_train_state(params, stats, tx)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    def adam(opt_state, grads, params):
+        updates, new_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state
+
+    # one big bf16 matmul — the historical single-point calibration, kept as
+    # a reference row
+    a16 = jnp.asarray(rng.uniform(size=(4096, 4096)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    def matmul_bf16(a):
+        return (a @ a).sum()
+
+    table = [
+        ("matmul_bf16_4096", jax.jit(matmul_bf16), (a16,), PEAK_FLOPS_BF16),
+        ("encoder_fwd", jax.jit(encoders), (params,), PEAK_FLOPS_F32),
+        ("decoder_fwd", jax.jit(dec_fwd), (params,), PEAK_FLOPS_F32),
+        ("iter_fwd_bwd", jax.jit(iter_fwd_bwd), (params,), PEAK_FLOPS_F32),
+        ("warp_pallas_fwd_bwd", jax.jit(warp_pallas_fb), (src, coords), PEAK_FLOPS_F32),
+        ("warp_xla_fwd_bwd", jax.jit(warp_xla_fb), (src, coords), PEAK_FLOPS_F32),
+        ("adam_update", jax.jit(adam), (state.opt_state, grads, params), PEAK_FLOPS_F32),
+    ]
+    rows = []
+    for name, fn, args, peak in table:
+        if classes is not None and name not in classes:
+            continue
+        ms = _time_chained(fn, args, repeats=repeats)
+        cost = _cost(fn, *args)
+        sol_flops_ms = cost["flops"] / peak * 1e3
+        sol_bytes_ms = cost["bytes"] / PEAK_HBM_GBS * 1e3
+        sol_ms = max(sol_flops_ms, sol_bytes_ms)
+        rows.append(
+            {
+                "class": name,
+                "measured_ms": round(ms, 3),
+                "gflops": round(cost["flops"] / 1e9, 2),
+                "gbytes": round(cost["bytes"] / 1e9, 3),
+                "sol_ms": round(sol_ms, 4),
+                "bound": "hbm" if sol_bytes_ms > sol_flops_ms else "mxu",
+                "relay_factor": round(ms / sol_ms, 1) if sol_ms > 0 else float("nan"),
+                "proj_native_ms": round(sol_ms / ASSUMED_EFFICIENCY, 3),
+            }
+        )
+    return rows
+
+
+def project_native_fps(rows: List[Dict], adapt_iters: int = 5) -> Dict[str, float]:
+    """Projected native v5e frame time from the per-class roofline: fixed
+    (encoders) + K x per-iteration (decoder fwd/bwd + warp + loss + Adam).
+    `iter_fwd_bwd` already contains the warp+loss, so the composition is
+    encoders + K * (iter_fwd_bwd + adam)."""
+    by = {r["class"]: r for r in rows}
+    try:
+        fixed = by["encoder_fwd"]["proj_native_ms"]
+        per_iter = by["iter_fwd_bwd"]["proj_native_ms"] + by["adam_update"]["proj_native_ms"]
+    except KeyError:
+        return {}
+    frame_ms = fixed + adapt_iters * per_iter
+    return {
+        "proj_native_fixed_ms": round(fixed, 3),
+        "proj_native_per_iter_ms": round(per_iter, 3),
+        "proj_native_frame_ms": round(frame_ms, 3),
+        "proj_native_fps": round(1e3 / frame_ms, 1),
+    }
+
+
+def main() -> None:
+    rows = calibrate()
+    header = ("class", "measured_ms", "gflops", "gbytes", "sol_ms", "bound",
+              "relay_factor", "proj_native_ms")
+    print(" | ".join(header))
+    for r in rows:
+        print(" | ".join(str(r[k]) for k in header))
+    proj = project_native_fps(rows)
+    for k, v in proj.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

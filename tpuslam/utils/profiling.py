@@ -87,9 +87,65 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(record, step=step)
 
+    def log_image(self, key: str, image, step: Optional[int] = None) -> None:
+        """Mirror an image (PIL or path) to wandb — the reference uploads its
+        save_prediction strip as wandb.Image (depth_pose_prediction.py:1243-1244).
+        JSONL records the reference only (images don't belong in JSONL)."""
+        self.log({key: str(image) if not hasattr(image, "size") else "<image>"},
+                 step=step)
+        if self._wandb is not None:
+            self._wandb.log({key: [self._wandb.Image(image)]}, step=step)
+
     def finish(self) -> None:
         if self._wandb is not None:
             self._wandb.finish()
+
+
+def profile_host_pipeline(
+    dataset=None,
+    height: int = 192,
+    width: int = 640,
+    samples: int = 20,
+) -> Dict[str, float]:
+    """Host-side decode/batch micro-benchmark (the feed for the SLAM loop).
+
+    Measures per-frame: `dataset[i]` latency (PNG decode / synthetic render +
+    resize pyramid) and FrameBatch assembly + host->device transfer.  Compare
+    against the device frame time (profile_adapt_step): at native speeds
+    (O(10 ms)/frame) host decode of 3 images/frame becomes the bottleneck
+    long before the chip — this quantifies how deep `Slam.run`'s prefetch
+    queue must be and whether decode needs more workers.
+
+    Returns {"ms_decode", "ms_batch", "ms_total_host"}.
+    """
+    import jax
+    import numpy as np
+
+    from tpuslam.train import make_frame_batch
+
+    if dataset is None:
+        from tpuslam.data import SyntheticDataset
+
+        dataset = SyntheticDataset(
+            num_frames=samples + 2, height=height, width=width
+        )
+    n = min(samples, len(dataset))
+
+    t0 = time.perf_counter()
+    items = [dataset[i] for i in range(n)]
+    ms_decode = (time.perf_counter() - t0) / n * 1e3
+
+    t0 = time.perf_counter()
+    for s in items:
+        batch = make_frame_batch(s.rgb[None], s.K, s.rel_dist[None])
+    jax.tree_util.tree_map(np.asarray, batch)  # force the transfer
+    ms_batch = (time.perf_counter() - t0) / n * 1e3
+
+    return {
+        "ms_decode": round(ms_decode, 3),
+        "ms_batch": round(ms_batch, 3),
+        "ms_total_host": round(ms_decode + ms_batch, 3),
+    }
 
 
 def profile_adapt_step(

@@ -80,6 +80,82 @@ def save_depth_panel(image: np.ndarray, depth: np.ndarray, filename: Path) -> Pa
     return Path(filename)
 
 
+def save_prediction_panels(
+    rgbs,
+    depths,
+    indices,
+    folder: Path,
+    disps=None,
+    gt_depths=None,
+    max_strip_width: int = 3200,
+):
+    """Per-sample prediction panels + a horizontal review strip.
+
+    Reference `save_prediction` (depth_pose_prediction.py:1197-1244): for
+    each validation sample, a figure with the input RGB on top and the
+    magma_r-colored depth (vmax = 95th percentile) below, written to
+    `<folder>/{index:05}.png`; the first few figures are horizontally
+    concatenated into one PIL strip (the reference caps it at 5x the image
+    width) which the caller can wandb-log as 'pred_depth'.
+
+    Beyond the reference: optional sigmoid-disparity and GT/abs-rel-error
+    rows when `disps` / `gt_depths` are given.
+
+    Returns (list of saved paths, PIL strip image).
+    """
+    from PIL import Image
+
+    plt = _plt()
+    folder = Path(folder)
+    folder.mkdir(parents=True, exist_ok=True)
+    paths = []
+    strip = None
+    for i, index in enumerate(indices):
+        rows = 2 + (disps is not None) + 2 * (gt_depths is not None)
+        fig, axs = plt.subplots(rows, 1, figsize=(6.4, 2.4 * rows))
+        axs = np.atleast_1d(axs)
+        r = 0
+        axs[r].imshow(np.asarray(rgbs[i]))
+        axs[r].set_title("Input")
+        r += 1
+        if disps is not None:
+            axs[r].imshow(np.asarray(disps[i]), cmap="magma")
+            axs[r].set_title("Disparity (sigmoid)")
+            r += 1
+        depth = np.asarray(depths[i])
+        vmax = np.percentile(depth, 95)
+        axs[r].imshow(depth, cmap="magma_r", vmax=vmax)
+        axs[r].set_title(f"Depth prediction  |  vmax={vmax:.3f}")
+        r += 1
+        if gt_depths is not None:
+            gt = np.asarray(gt_depths[i], np.float32)
+            if gt.shape != depth.shape:  # GT often at source resolution
+                gy = (np.arange(depth.shape[0]) * gt.shape[0] / depth.shape[0]).astype(int)
+                gx = (np.arange(depth.shape[1]) * gt.shape[1] / depth.shape[1]).astype(int)
+                gt = gt[np.ix_(gy, gx)]
+            valid = gt > 0
+            axs[r].imshow(np.where(valid, gt, np.nan), cmap="magma_r", vmax=vmax)
+            axs[r].set_title("GT depth")
+            r += 1
+            err = np.where(valid, np.abs(depth - gt) / np.maximum(gt, 1e-6), np.nan)
+            axs[r].imshow(err, cmap="viridis", vmax=1.0)
+            mean_err = float(np.nanmean(err)) if valid.any() else float("nan")
+            axs[r].set_title(f"abs-rel error  |  mean={mean_err:.3f}")
+        for ax in axs:
+            ax.axis("off")
+        fig.tight_layout()
+        path = folder / f"{int(index):05d}.png"
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(path)
+        panel = Image.open(path).convert("RGB")
+        if strip is None:
+            strip = panel
+        elif strip.size[0] < max_strip_width:
+            strip = h_concat_images(strip, panel)
+    return paths, strip
+
+
 def show_images(batch, filename=None, augmented: bool = False):
     """Debug panel of a FrameBatch: samples x frames grid
     (reference datasets/utils.py:287-307 analog; saves instead of plt.show)."""
