@@ -117,3 +117,76 @@ def test_demosaic_recovers_flat_color():
     )
     rgb = demosaic_gbrg_bilinear(mosaic)
     np.testing.assert_allclose(rgb, truth, atol=1e-5)
+
+
+def test_camera_model_full_semantics(tmp_path):
+    """Reference CameraModel parity (datasets/robotcar.py:553-678):
+    G_camera_image parsing, LUT/image-size pairing enforcement, synthetic-LUT
+    undistortion round trip, projection through the extrinsics block."""
+    from tpuslam.data.robotcar import CameraModel
+
+    cam_dir = tmp_path / "camera_models"
+    cam_dir.mkdir()
+    G = np.eye(4)
+    G[:3, 3] = [0.1, -0.2, 0.3]
+    lines = ["400.0 300.0 32.0 24.0"] + [
+        " ".join(str(v) for v in row) for row in G
+    ]
+    (cam_dir / "stereo_narrow_left.txt").write_text("\n".join(lines) + "\n")
+
+    H, W = 8, 16
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    # LUT shifts every pixel one column left (u = x - 1)
+    lut = np.concatenate([(xx - 1).ravel(), yy.ravel()])
+    lut.astype(np.double).tofile(cam_dir / "stereo_narrow_left_distortion_lut.bin")
+
+    model = CameraModel(cam_dir)
+    assert model.focal_length == (400.0, 300.0)
+    assert model.principal_point == (32.0, 24.0)
+    np.testing.assert_allclose(model.G_camera_image, G)
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(H, W, 3)).astype(np.float32)
+    out = model.undistort(img)
+    # column c of the output is column c-1 of the input; column 0 falls
+    # outside and reads 0 (reference map_coordinates constant-mode default)
+    np.testing.assert_allclose(out[:, 1:], img[:, :-1], atol=1e-6)
+    np.testing.assert_allclose(out[:, 0], 0.0, atol=1e-6)
+
+    # LUT is tied to the native resolution: wrong size is an error, not a
+    # silent reshape (reference :628-629)
+    with pytest.raises(ValueError):
+        model.undistort(img[: H // 2])
+
+    # projection: a point on the optical axis of the image frame lands on
+    # the principal point at depth 1 after the extrinsics solve
+    pt_cam = (G @ np.array([0.0, 0.0, 1.0, 1.0]))[:, None]
+    uv, depth = model.project(pt_cam, (H * 100, W * 100))
+    np.testing.assert_allclose(uv[:, 0], [32.0, 24.0], atol=1e-9)
+    np.testing.assert_allclose(depth, [1.0], atol=1e-12)
+    # behind-camera points are dropped
+    pt_behind = (G @ np.array([0.0, 0.0, -1.0, 1.0]))[:, None]
+    uv2, _ = model.project(pt_behind, (H, W))
+    assert uv2.shape[1] == 0
+
+    # intrinsics scaling for resized images
+    fx, fy, cx, cy = model.scaled_intrinsics(
+        48, 160, native_height=H, native_width=W
+    )
+    assert (fx, cx) == (400.0 * 10, 32.0 * 10) and (fy, cy) == (300.0 * 6, 24.0 * 6)
+
+
+def test_camera_model_from_images_dir(tmp_path):
+    from tpuslam.data.robotcar import CameraModel
+
+    cam_dir = tmp_path / "camera_models"
+    cam_dir.mkdir()
+    for name in ("stereo_narrow_left", "stereo_wide_left", "mono_rear"):
+        (cam_dir / f"{name}.txt").write_text("1.0 2.0 3.0 4.0\n")
+    assert CameraModel.from_images_dir(
+        cam_dir, "/data/seq/stereo/centre"
+    ).focal_length == (1.0, 2.0)
+    m = CameraModel.from_images_dir(cam_dir, "/data/seq/stereo/left")
+    assert m.fx == 1.0  # stereo_wide_left resolved
+    m2 = CameraModel.from_images_dir(cam_dir, "/data/seq/mono_rear")
+    assert m2.principal_point == (3.0, 4.0)

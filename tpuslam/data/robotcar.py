@@ -233,29 +233,111 @@ def _conv2same(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
 
 
 class CameraModel:
-    """RobotCar camera model: intrinsics + undistortion lookup table."""
+    """RobotCar camera model: intrinsics, image->camera extrinsics and the
+    undistortion lookup table (reference `CameraModel`,
+    /root/reference/datasets/robotcar.py:553-678).
+
+    The intrinsics file's first line is (fx, fy, cx, cy); the remaining lines
+    are the 4x4 `G_camera_image` transform from the image frame to the camera
+    frame (identity when absent).  The LUT maps each undistorted pixel to a
+    sub-pixel location in the distorted image and is tied to the camera's
+    native resolution — `undistort` enforces that pairing like the reference
+    (:628-629) instead of silently reshaping.
+    """
 
     def __init__(self, models_dir: Path, camera: str = "stereo_narrow_left"):
         models_dir = Path(models_dir)
-        intr = (models_dir / f"{camera}.txt").read_text().split()
-        self.fx, self.fy, self.cx, self.cy = (float(x) for x in intr[:4])
+        with open(models_dir / f"{camera}.txt", "r", encoding="utf-8") as f:
+            vals = [float(x) for x in next(f).split()]
+            self.focal_length = (vals[0], vals[1])
+            self.principal_point = (vals[2], vals[3])
+            rows = [[float(x) for x in line.split()] for line in f if line.strip()]
+        # only a well-formed 4x4 block counts; anything else -> identity
+        self.G_camera_image = (
+            np.array(rows, np.float64)
+            if len(rows) == 4 and all(len(r) == 4 for r in rows)
+            else np.eye(4)
+        )
+        # legacy scalar aliases
+        self.fx, self.fy = self.focal_length
+        self.cx, self.cy = self.principal_point
         lut_file = models_dir / f"{camera}_distortion_lut.bin"
         self.lut = None
         if lut_file.exists():
             lut = np.fromfile(lut_file, np.double)
-            self.lut = lut.reshape(2, lut.size // 2)  # (u_map, v_map) rows
+            self.lut = lut.reshape(2, lut.size // 2)  # rows: (u_map, v_map)
+
+    @classmethod
+    def from_images_dir(cls, models_dir: Path, images_dir: str) -> "CameraModel":
+        """Resolve the model name from an image directory path like the
+        reference's `__get_model_name` (:644-656): stereo left/right map to
+        the wide models, centre to stereo_narrow_left; mono_* map directly."""
+        import re
+
+        m = re.search(r"(stereo|mono_(left|right|rear))", str(images_dir))
+        if m is None:
+            raise ValueError(f"cannot infer camera from {images_dir}")
+        camera = m.group(0)
+        if camera == "stereo":
+            s = re.search(r"(left|center|centre|right)", str(images_dir))
+            sensor = s.group(0) if s else "centre"
+            camera = {
+                "left": "stereo_wide_left",
+                "right": "stereo_wide_right",
+                "center": "stereo_narrow_left",
+                "centre": "stereo_narrow_left",
+            }[sensor]
+        return cls(models_dir, camera)
+
+    def scaled_intrinsics(self, height: int, width: int,
+                          native_height: int = 960, native_width: int = 1280):
+        """(fx, fy, cx, cy) rescaled from the camera's native resolution to a
+        resized image — focal lengths and principal point scale with their
+        axis (the pairing mistake the LUT check guards against at full res)."""
+        sx, sy = width / native_width, height / native_height
+        return (self.fx * sx, self.fy * sy, self.cx * sx, self.cy * sy)
+
+    def project(self, xyz: np.ndarray, image_size) -> tuple:
+        """Project camera-frame points into the image (reference :584-615):
+        apply inv(G_camera_image), keep points in front, pinhole-project,
+        keep in-bounds pixels.  Returns (uv (2, m), depths (m,))."""
+        xyz = np.asarray(xyz, np.float64)
+        if xyz.shape[0] == 3:
+            xyz = np.vstack([xyz, np.ones((1, xyz.shape[1]))])
+        xyzw = np.linalg.solve(self.G_camera_image, xyz)
+        in_front = xyzw[2] >= 0
+        xyzw = xyzw[:, in_front]
+        uv = np.vstack([
+            self.focal_length[0] * xyzw[0] / xyzw[2] + self.principal_point[0],
+            self.focal_length[1] * xyzw[1] / xyzw[2] + self.principal_point[1],
+        ])
+        in_img = (
+            (uv[0] >= 0.5) & (uv[0] <= image_size[1])
+            & (uv[1] >= 0.5) & (uv[1] <= image_size[0])
+        )
+        return uv[:, in_img], np.ravel(xyzw[2, in_img])
 
     def undistort(self, image: np.ndarray) -> np.ndarray:
-        """Bilinear LUT undistortion (reference CameraModel.undistort)."""
+        """Bilinear LUT undistortion (reference CameraModel.undistort,
+        :617-642).  The LUT is resolution-specific: a mismatched image size
+        is an error, not a silent reshape."""
         if self.lut is None:
             return image
         from scipy.ndimage import map_coordinates
 
         H, W = image.shape[:2]
+        if H * W != self.lut.shape[1]:
+            raise ValueError(
+                f"Incorrect image size for camera model: image {H}x{W} vs "
+                f"LUT of {self.lut.shape[1]} pixels — undistort at the native "
+                "resolution, then resize"
+            )
         u = self.lut[0].reshape(H, W)
         v = self.lut[1].reshape(H, W)
+        # out-of-range samples fall to 0 like the reference's map_coordinates
+        # defaults (order=1, mode='constant')
         channels = [
-            map_coordinates(image[..., c], [v, u], order=1, mode="nearest")
+            map_coordinates(image[..., c], [v, u], order=1)
             for c in range(image.shape[-1])
         ]
         return np.stack(channels, axis=-1)
