@@ -196,3 +196,48 @@ def test_total_loss_dynamic_mask(rng):
     assert float(unmasked["reprojection_loss/scale_0"]) > 5 * float(
         masked["reprojection_loss/scale_0"]
     )
+
+
+def test_scale_prior_anti_collapse(rng):
+    """The log-mean-disparity prior fires only when enabled, is ~0 at the
+    target, and grows as disparity collapses toward the far plane — the
+    gradient that keeps low-parallax pretraining off the degenerate optimum
+    (BASELINE.md depth-collapse finding)."""
+    import jax
+
+    target = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
+    inputs = {
+        ("rgb", 0, 0): target,
+        ("rgb", -1, 0): target,
+        ("rgb", 1, 0): target,
+        ("relative_distance", 0): jnp.ones(B),
+        ("relative_distance", 1): jnp.ones(B),
+    }
+
+    def outputs_with(disp_val):
+        return {
+            ("rgb", -1, 0): target,
+            ("rgb", 1, 0): target,
+            ("disp", 0): jnp.full((B, H, W, 1), disp_val),
+            ("translation", 0, -1): jnp.ones((B, 3)) / np.sqrt(3),
+            ("translation", 0, 1): jnp.ones((B, 3)) / np.sqrt(3),
+        }
+
+    # off by default: no scale_prior_loss key
+    base = total_loss(inputs, outputs_with(0.15), scales=(0,))
+    assert "scale_prior_loss" not in base
+
+    kw = dict(scales=(0,), scale_prior_weight=0.1, scale_prior_disp=0.15)
+    at_target = total_loss(inputs, outputs_with(0.15), **kw)
+    collapsing = total_loss(inputs, outputs_with(0.001), **kw)
+    assert float(at_target["scale_prior_loss"]) < 1e-10
+    assert float(collapsing["scale_prior_loss"]) > 1.0
+    assert float(collapsing["loss"]) > float(at_target["loss"])
+
+    # the gradient pushes a collapsing disparity back UP
+    def prior_only(disp):
+        l = total_loss(inputs, {**outputs_with(0.001), ("disp", 0): disp}, **kw)
+        return l["loss"]
+
+    g = jax.grad(prior_only)(jnp.full((B, H, W, 1), 0.001))
+    assert float(np.asarray(g).mean()) < 0  # decrease loss by increasing disp

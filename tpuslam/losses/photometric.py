@@ -160,6 +160,8 @@ def total_loss(
     rng: Optional[jax.Array] = None,
     dynamic_masks: Optional[Dict[int, jax.Array]] = None,
     identity_base: Optional[jax.Array] = None,
+    scale_prior_weight: float = 0.0,
+    scale_prior_disp: float = 0.15,
 ) -> Dict[str, jax.Array]:
     """Fused multi-scale loss — the reference `_compute_loss` semantics.
 
@@ -179,6 +181,15 @@ def total_loss(
     `dynamic_masks` (scale -> (B, Hs, Ws), 1 = dynamic object) activates the
     reference's mask_dynamic pretraining path (:1063-1075): reprojection and
     smoothness average over static pixels globally (not per-sample weighted).
+
+    `scale_prior_weight > 0` adds a log-mean-disparity prior
+    (log mean(disp_0) - log scale_prior_disp)^2 — an anti-collapse barrier
+    for low-parallax regimes, where the photometric term has a degenerate
+    far-plane optimum (disp -> 0 makes every warp the identity, which the
+    auto-mask then stops penalising; BASELINE.md depth-collapse finding).
+    The reference has no equivalent: it relies on high-parallax data.  Apply
+    only in early epochs (Pretrainer `scale_prior_epochs`) so the prior
+    steers initialisation without biasing converged depth.
     """
     target = inputs[("rgb", 0, 0)]
     B = target.shape[0]
@@ -195,13 +206,19 @@ def total_loss(
     # across scales.
     if identity_base is None:
         identity_base = identity_reprojection(inputs, frame_ids)  # (B, F, H, W)
-    # one RNG pass for all scales (cheaper than len(scales) separate draws)
+    # One RNG pass for all scales (cheaper than len(scales) separate draws).
+    # The noise is BROADCAST over the batch axis: tie-breaking only needs
+    # per-(frame, pixel) jitter, and a batch-independent draw makes the loss
+    # invariant to how the batch is sharded across devices — the DP mesh step
+    # reproduces the single-device update exactly (tests/test_parallel.py).
     noise = (
         None
         if rng is None
         else 1e-5
         * jax.random.normal(
-            rng, (len(scales),) + identity_base.shape, identity_base.dtype
+            rng,
+            (len(scales), 1) + identity_base.shape[1:],
+            identity_base.dtype,
         )
     )
 
@@ -243,6 +260,13 @@ def total_loss(
 
     total = total / len(scales)
     losses["depth_loss"] = total
+
+    if scale_prior_weight > 0:
+        mean_disp = outputs[("disp", scales[0])].mean(axis=(1, 2, 3))  # (B,)
+        prior = (jnp.log(mean_disp + 1e-7) - jnp.log(scale_prior_disp)) ** 2
+        prior_l = scale_prior_weight * (prior * sample_weights).sum()
+        losses["scale_prior_loss"] = prior_l
+        total = total + prior_l
 
     if velocity_loss_scaling is not None and velocity_loss_scaling > 0:
         vel = velocity_loss(
