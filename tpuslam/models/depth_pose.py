@@ -30,16 +30,21 @@ class DepthPoseNet(nn.Module):
     resnet_pose: int = 18
     scales: Tuple[int, ...] = (0, 1, 2, 3)
     dtype: jnp.dtype = jnp.float32
+    # sync-BN axis for DP pretraining (normalise with GLOBAL batch stats so
+    # the sharded step equals the single-device one; see resnet.BasicBlock)
+    bn_axis: str = None
 
     def setup(self):
         self.depth_encoder = ResNetEncoder(
-            self.resnet_depth, num_input_images=1, dtype=self.dtype, name="depth_encoder"
+            self.resnet_depth, num_input_images=1, dtype=self.dtype,
+            bn_axis=self.bn_axis, name="depth_encoder"
         )
         self.depth_decoder = DepthDecoder(
             scales=self.scales, dtype=self.dtype, name="depth_decoder"
         )
         self.pose_encoder = ResNetEncoder(
-            self.resnet_pose, num_input_images=2, dtype=self.dtype, name="pose_encoder"
+            self.resnet_pose, num_input_images=2, dtype=self.dtype,
+            bn_axis=self.bn_axis, name="pose_encoder"
         )
         self.pose_decoder = PoseDecoder(
             num_frames_to_predict_for=2, dtype=self.dtype, name="pose_decoder"

@@ -28,27 +28,34 @@ class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     dtype: jnp.dtype = jnp.float32
+    # cross-device BN statistic sync (sync-BN): under the DP mesh this names
+    # the mesh axis so train-mode normalisation uses GLOBAL batch statistics
+    # — the sharded step then reproduces the single-device update exactly
+    # (DataParallel in the reference normalises per-GPU and only keeps
+    # device-0 running stats; this is strictly stronger)
+    bn_axis: str = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        bn = dict(dtype=self.dtype, axis_name=self.bn_axis, **_BN)
         residual = x
         y = nn.Conv(
             self.features, (3, 3), strides=self.strides, padding=1,
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1", **_BN)(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1", **bn)(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.features, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2"
         )(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2", **_BN)(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2", **bn)(y)
         if residual.shape[-1] != self.features or self.strides != 1:
             residual = nn.Conv(
                 self.features, (1, 1), strides=self.strides, padding=0,
                 use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(residual)
             residual = nn.BatchNorm(
-                use_running_average=not train, dtype=self.dtype, name="downsample_bn", **_BN
+                use_running_average=not train, name="downsample_bn", **bn
             )(residual)
         return nn.relu(y + residual)
 
@@ -59,6 +66,7 @@ class ResNetEncoder(nn.Module):
     num_layers: int = 18
     num_input_images: int = 1
     dtype: jnp.dtype = jnp.float32
+    bn_axis: str = None  # sync-BN mesh axis (see BasicBlock.bn_axis)
 
     @property
     def num_ch_encoder(self) -> Tuple[int, ...]:
@@ -76,7 +84,10 @@ class ResNetEncoder(nn.Module):
         x = nn.Conv(
             64, (7, 7), strides=2, padding=3, use_bias=False, dtype=self.dtype, name="conv1"
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1", **_BN)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype,
+            axis_name=self.bn_axis, name="bn1", **_BN,
+        )(x)
         f0 = nn.relu(x)
 
         x = nn.max_pool(f0, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -85,7 +96,7 @@ class ResNetEncoder(nn.Module):
             for block_i in range(blocks):
                 strides = 2 if (stage_i > 0 and block_i == 0) else 1
                 x = BasicBlock(
-                    ch, strides=strides, dtype=self.dtype,
+                    ch, strides=strides, dtype=self.dtype, bn_axis=self.bn_axis,
                     name=f"layer{stage_i + 1}_{block_i}",
                 )(x, train)
             features.append(x)

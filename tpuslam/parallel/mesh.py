@@ -57,18 +57,21 @@ def make_dp_train_step(
     """Build the jitted SPMD pretraining step.
 
     state is replicated; the batch is sharded along samples.  Each device
-    computes its local forward/backward; gradients, losses and BN statistics
-    are `pmean`-reduced over ICI, so every replica applies the identical
-    Adam update (params never diverge)."""
+    computes its local forward/backward; BatchNorm normalises with GLOBAL
+    batch statistics (sync-BN via flax `axis_name` psums inside the model);
+    gradients, losses and BN statistics are `pmean`-reduced over ICI.  The
+    identity tie-break noise is drawn from the REPLICATED rng and is
+    batch-broadcast (losses/photometric.py), so the sharded step reproduces
+    the single-device `train_step` update exactly (tests/test_parallel.py),
+    not merely statistically."""
+    dp_model = model.clone(bn_axis=axis)
 
     def _local_step(state: TrainState, batch: FrameBatch):
-        n_local = batch.batch_size
-
         def loss_fn(params, rng):
             # per-shard weights: scale so the pmean over devices equals the
             # global weighted mean (weights sum to 1 globally)
             losses, _, new_stats = forward(
-                model,
+                dp_model,
                 params,
                 state.batch_stats,
                 batch,
@@ -79,8 +82,10 @@ def make_dp_train_step(
             )
             return losses["loss"], (losses, new_stats)
 
-        rng = jax.random.fold_in(state.rng, jax.lax.axis_index(axis))
-        rng, noise_rng = jax.random.split(rng)
+        # SAME key on every device: the noise is batch-broadcast, so any
+        # per-device fold-in would (a) diverge from the single-device step
+        # and (b) make the loss depend on the sharding layout
+        rng, noise_rng = jax.random.split(state.rng)
         (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, noise_rng
         )
@@ -90,12 +95,11 @@ def make_dp_train_step(
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_rng = jax.random.split(state.rng)[0]  # identical on all devices
         new_state = TrainState(
             params=params,
             batch_stats=new_stats,
             opt_state=opt_state,
-            rng=new_rng,
+            rng=rng,  # identical on all devices (split of the replicated key)
             step=state.step + 1,
         )
         return new_state, losses
