@@ -288,3 +288,43 @@ def test_slam_async_with_loop_closures(tmp_path):
     assert len(slam.pose_graph.vertex_ids) == 9
     # the LC index grew every frame
     assert len(slam.loop_closure_detection) == 8
+
+
+@pytest.mark.slow
+def test_slam_run_prefetch_and_lc_cache(tmp_path):
+    """Slam.run with an N-deep prefetch queue consumes frames in order
+    (trajectory identical to stepping manually) and _lc_image serves repeat
+    candidates from its bounded LRU instead of re-decoding."""
+    cfg = _config(tmp_path)
+    slam = Slam(cfg)
+    slam.run(max_steps=6, progress=False, prefetch_depth=3)
+    assert slam.current_step == 6
+    assert slam.pose_graph.vertex_ids == list(range(7))
+    assert all(np.isfinite(t) for t in slam.step_times)
+
+    # LC image cache: first access decodes, second hits the cache
+    img1 = slam._lc_image(2)
+    assert 2 - 1 in slam._lc_cache
+    calls = {"n": 0}
+    orig = slam.dataset.__class__.__getitem__
+
+    class Counting:
+        def __init__(self, ds):
+            self.ds = ds
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            calls["n"] += 1
+            return self.ds[i]
+
+    slam.dataset = Counting(slam.dataset)
+    img2 = slam._lc_image(2)
+    assert calls["n"] == 0  # served from cache
+    np.testing.assert_array_equal(img1, img2)
+    # eviction keeps the cache bounded
+    slam._lc_cache_size = 2
+    slam._lc_image(3)
+    slam._lc_image(4)
+    assert len(slam._lc_cache) <= 2

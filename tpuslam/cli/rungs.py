@@ -33,7 +33,7 @@ from tpuslam.eval.trajectory import compute_ate
 from tpuslam.slam import Slam
 
 
-def _run(name, cfg, dataset):
+def _run(name, cfg, dataset, diagnostics=False):
     slam = Slam(cfg, dataset=dataset)
     t0 = time.perf_counter()
     slam.run(progress=False)
@@ -56,6 +56,25 @@ def _run(name, cfg, dataset):
         f"abs_rel={abs_rel:.3f} loops={slam.pose_graph.num_loop_closures} "
         f"fps={fps:.2f} ({wall:.0f}s)"
     )
+    if diagnostics:
+        # LC-edge quality: a bad predicted relative pose makes the PGO pull
+        # the trajectory off — THE candidate cause for rung 4 > rung 1 ATE
+        # on untrained nets
+        for d in slam.lc_edge_diagnostics:
+            print(
+                f"    lc_edge {d['step']:4d}->{d['lc_id']:4d} sim={d['sim']:.3f} "
+                f"pred={d['pred_dist']:.2f}m gt={d.get('gt_dist', float('nan')):.2f}m "
+                f"err={d.get('trans_err', float('nan')):.2f}m"
+            )
+        if slam.replay_composition:
+            ids = [i for frame in slam.replay_composition for i in frame]
+            uniq, counts = np.unique(ids, return_counts=True)
+            top = sorted(zip(counts, uniq), reverse=True)[:8]
+            print(
+                f"    replay draws: {len(ids)} total, {len(uniq)} distinct; "
+                "most drawn: "
+                + ", ".join(f"id{int(i)}x{int(c)}" for c, i in top)
+            )
     return ate
 
 
@@ -66,7 +85,16 @@ def main(argv=None) -> int:
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--weights", type=Path, default=None)
     ap.add_argument("--log", type=Path, default=Path("./log/rungs"))
+    ap.add_argument(
+        "--diagnostics", action="store_true",
+        help="dump per-rung LC-edge quality + replay-batch composition",
+    )
+    ap.add_argument(
+        "--rungs", type=str, default="1,2,3,4,5",
+        help="comma-separated subset of rungs to run",
+    )
     args = ap.parse_args(argv)
+    which = {int(r) for r in args.rungs.split(",")}
 
     def base_cfg(tag, batch_size=3, **slam_kwargs):
         cfg = Config()
@@ -98,26 +126,34 @@ def main(argv=None) -> int:
 
     print(f"BASELINE config ladder — {args.frames} frames @ "
           f"{args.height}x{args.width}, weights={args.weights}")
-    _run("rung 1: frozen inference", base_cfg("r1", adaptation=False), world())
-    _run("rung 2: online adaptation (no replay)",
-         base_cfg("r2", batch_size=1), world())
-    _run("rung 3: dual-network + replay",
-         base_cfg("r3", use_expert=True, generalist_interval=5), world())
-    _run("rung 4: + loop closures + PGO",
-         base_cfg("r4", do_loop_closures=True), world())
+    diag = args.diagnostics
+    if 1 in which:
+        _run("rung 1: frozen inference", base_cfg("r1", adaptation=False),
+             world(), diag)
+    if 2 in which:
+        _run("rung 2: online adaptation (no replay)",
+             base_cfg("r2", batch_size=1), world(), diag)
+    if 3 in which:
+        _run("rung 3: dual-network + replay",
+             base_cfg("r3", use_expert=True, generalist_interval=5), world(), diag)
+    if 4 in which:
+        _run("rung 4: + loop closures + PGO",
+             base_cfg("r4", do_loop_closures=True), world(), diag)
+
     def chained():
         return ChainedDataset([world(seed=7, frames=args.frames // 2),
                                world(seed=11, frames=args.frames // 2)])
 
-    cfg5 = base_cfg("r5", async_adaptation=True)
-    cfg5.dataset.num_frames = args.frames
-    _run("rung 5: CoVIO async, 2-domain chain", cfg5, chained())
-    # sync ablation of the SAME workload: the async decoupling's throughput
-    # win is async-vs-sync at equal batch/replay config (rung 2 is a
-    # different, cheaper workload: batch-1, no replay)
-    cfg5s = base_cfg("r5_sync")
-    cfg5s.dataset.num_frames = args.frames
-    _run("rung 5 sync ablation (same config)", cfg5s, chained())
+    if 5 in which:
+        cfg5 = base_cfg("r5", async_adaptation=True)
+        cfg5.dataset.num_frames = args.frames
+        _run("rung 5: CoVIO async, 2-domain chain", cfg5, chained(), diag)
+        # sync ablation of the SAME workload: the async decoupling's
+        # throughput win is async-vs-sync at equal batch/replay config
+        # (rung 2 is a different, cheaper workload: batch-1, no replay)
+        cfg5s = base_cfg("r5_sync")
+        cfg5s.dataset.num_frames = args.frames
+        _run("rung 5 sync ablation (same config)", cfg5s, chained(), diag)
     return 0
 
 

@@ -178,6 +178,15 @@ class Slam:
         self._pending_state = None
         self.async_updates_launched = 0
         self.async_updates_adopted = 0
+        # bounded LRU for loop-closure candidate images (see _lc_image)
+        from collections import OrderedDict
+
+        self._lc_cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._lc_cache_size = 32
+        # per-LC-edge quality diagnostics (pred vs GT relative translation)
+        self.lc_edge_diagnostics: List[dict] = []
+        # per-frame replay-batch composition (buffer sample ids drawn)
+        self.replay_composition: List[List[int]] = []
         self.loss_cfg = LossConfig(
             scales=tuple(pc.scales),
             min_depth=pc.min_depth,
@@ -290,6 +299,7 @@ class Slam:
                 )
             )[0]
         draws = self.replay_buffer.get(current_index=sample.index, embedding=embedding)
+        self.replay_composition.append([int(d.index) for d in draws])
         if not draws:
             return pad_batch(online, self.batch_size)
         replay = make_frame_batch(
@@ -491,11 +501,40 @@ class Slam:
                         information=0.5 * np.linalg.inv(cov),
                         is_loop_closure=True,
                     )
+                    # edge diagnostics: how good was the predicted LC pose?
+                    # (a garbage relative pose here makes the PGO solve PULL
+                    # the trajectory off — the rung-4-worse-than-rung-1
+                    # failure mode on untrained nets, BASELINE.md round 3)
+                    pred_t = float(np.linalg.norm(lc_transformation[:3, 3]))
+                    diag = {
+                        "step": self.current_step,
+                        "lc_id": int(lc_id),
+                        "sim": float(sim),
+                        "pred_dist": pred_t,
+                    }
+                    try:
+                        gt_rel = np.linalg.inv(
+                            self.gt_pose_graph.get_pose(self.current_step)
+                        ) @ self.gt_pose_graph.get_pose(int(lc_id))
+                        diag["gt_dist"] = float(np.linalg.norm(gt_rel[:3, 3]))
+                        diag["trans_err"] = float(
+                            np.linalg.norm(
+                                lc_transformation[:3, 3] - gt_rel[:3, 3]
+                            )
+                        )
+                    except Exception:
+                        pass
+                    self.lc_edge_diagnostics.append(diag)
                     if self.logging:
                         print(
                             f"loop closure {self.current_step} -> {lc_id} "
-                            f"[sim={sim:.3f}, "
-                            f"pred_dist={np.linalg.norm(lc_transformation[:3, 3]):.1f}m]"
+                            f"[sim={sim:.3f}, pred_dist={pred_t:.1f}m"
+                            + (
+                                f", gt_dist={diag['gt_dist']:.1f}m"
+                                if "gt_dist" in diag
+                                else ""
+                            )
+                            + "]"
                         )
                 if lc_ids:
                     # native C++ solver when buildable (no jit recompiles as
@@ -557,27 +596,50 @@ class Slam:
 
     def _lc_image(self, lc_id: int) -> Optional[np.ndarray]:
         """Frame +1 image of the step that registered `lc_id` — re-served by
-        the dataset on demand (LC matches are rare; caching every frame would
-        grow unboundedly over a long run)."""
+        the dataset on demand, behind a bounded LRU cache: one candidate can
+        be probed on several later frames (cooldown window), and a dataset
+        Sample decode is 3 PNG reads + a resize pyramid on real data."""
         idx = lc_id - 1
-        if 0 <= idx < len(self.dataset):
-            return self.dataset[idx].rgb[2]
-        return None
+        if not (0 <= idx < len(self.dataset)):
+            return None
+        cached = self._lc_cache.get(idx)
+        if cached is not None:
+            self._lc_cache.move_to_end(idx)
+            return cached
+        image = self.dataset[idx].rgb[2]
+        self._lc_cache[idx] = image
+        if len(self._lc_cache) > self._lc_cache_size:
+            self._lc_cache.popitem(last=False)
+        return image
 
     # ------------------------------------------------------------------
-    def run(self, max_steps: Optional[int] = None, progress: bool = True):
-        """Drive the loop with a one-ahead host prefetch: frame k+1 decodes /
-        renders on a worker thread while frame k's fused dispatch runs on
-        device (the device sync inside step() releases the GIL)."""
+    def run(
+        self,
+        max_steps: Optional[int] = None,
+        progress: bool = True,
+        prefetch_depth: int = 3,
+    ):
+        """Drive the loop with an N-deep host prefetch: the worker thread
+        decodes/renders up to `prefetch_depth` frames ahead of the device
+        (the device sync inside step() releases the GIL).  Depth > 1 absorbs
+        decode-latency jitter — at native device speeds a single-frame buffer
+        drains on any slow PNG and stalls the chip."""
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         n = len(self) if max_steps is None else min(max_steps, len(self))
+        depth = max(1, prefetch_depth)
         with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(self.dataset.__getitem__, self.current_step) if n else None
+            pending = deque(
+                pool.submit(self.dataset.__getitem__, self.current_step + k)
+                for k in range(min(depth, n))
+            )
             for k in range(n):
-                sample = fut.result()
-                if k + 1 < n:
-                    fut = pool.submit(self.dataset.__getitem__, self.current_step + 1)
+                sample = pending.popleft().result()
+                if k + depth < n:
+                    pending.append(
+                        pool.submit(self.dataset.__getitem__, self.current_step + depth)
+                    )
                 losses = self.step(sample=sample)
                 if progress and self.current_step % 25 == 0:
                     print(
