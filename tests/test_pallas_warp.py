@@ -149,3 +149,39 @@ def test_warp_and_loss_pallas_path_matches_xla(rng):
         disps, aa, tr, batch, LossConfig(scales=(0, 1), use_pallas_warp=False))
     np.testing.assert_allclose(
         float(losses_p["loss"]), float(losses_x["loss"]), atol=1e-5)
+
+
+@pytest.mark.parametrize("extra_tiles,sparse", [(1, True), (2, True), (2, False)])
+def test_pallas_warp_static_variants_match_xla(rng, extra_tiles, sparse):
+    """Sparse row-skip (pl.when) and taller-window variants are bit-compatible
+    with the XLA sampler inside their displacement domain, fwd and bwd."""
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+
+    src, coords = _static_data(rng)
+    ours = np.asarray(pallas_warp_static(src, coords, True, extra_tiles, sparse))
+    ref = np.asarray(bilinear_sampler(src, coords))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def loss_pallas(c):
+        return (pallas_warp_static(src, c, True, extra_tiles, sparse) ** 2).sum()
+
+    def loss_xla(c):
+        return (bilinear_sampler(src, c) ** 2).sum()
+
+    g_pallas = np.asarray(jax.grad(loss_pallas)(coords))
+    g_xla = np.asarray(jax.grad(loss_xla)(coords))
+    np.testing.assert_allclose(g_pallas, g_xla, atol=1e-3, rtol=1e-3)
+
+
+def test_pallas_warp_static_taller_window_extends_domain(rng):
+    """A 12px vertical flow clamps at extra_tiles=1 (margin ~8px) but is
+    exact at extra_tiles=2 (margin ~16-24px) — the ADVICE r2 fix."""
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+
+    src, coords = _static_data(rng, max_shift=0.5)
+    coords = coords.at[..., 1].add(12.0)
+    ref = np.asarray(bilinear_sampler(src, coords))
+    narrow = np.asarray(pallas_warp_static(src, coords, True, 1, True))
+    tall = np.asarray(pallas_warp_static(src, coords, True, 2, True))
+    assert np.abs(narrow - ref).max() > 1e-3  # clamped somewhere
+    np.testing.assert_allclose(tall, ref, atol=1e-5)

@@ -240,6 +240,10 @@ pallas_warp.defvjp(_fwd, _bwd)
 # degradation).  SLAM frame-to-frame warps are a few px.
 # ---------------------------------------------------------------------------
 SWIN_W = 3 * TILE_W  # 384 cols (one lane-segment of margin either side)
+# Window height = out_h + 2 * EXTRA_TILES * TILE_H.  extra_tiles=1 gives the
+# round-2 window (~8 px vertical margin); extra_tiles=2 widens it to ~16-24 px
+# — enough for near-field road rows at 192x640 (fy~369), where early-
+# adaptation depth error routinely exceeds 8 px of vertical flow (ADVICE r2).
 
 
 def _pick_out_h(H: int) -> int:
@@ -256,20 +260,22 @@ def _pick_out_h(H: int) -> int:
     return TILE_H
 
 
-def _window_origin(i, j, H, W, out_h):
+def _window_origin(i, j, H, W, out_h, extra_tiles=1):
     # computed in TILE units then scaled so the offsets are provably aligned
     oh_t = out_h // TILE_H
-    ys = jnp.clip(i * oh_t - 1, 0, H // TILE_H - (oh_t + 2)) * TILE_H
+    ys = jnp.clip(
+        i * oh_t - extra_tiles, 0, H // TILE_H - (oh_t + 2 * extra_tiles)
+    ) * TILE_H
     xs = jnp.clip(j - 1, 0, W // TILE_W - 3) * TILE_W
     return ys, xs
 
 
-def _static_tile_coords(coords_ref, H, W, out_h):
+def _static_tile_coords(coords_ref, H, W, out_h, extra_tiles=1):
     """In-window indices + weights for the static grid-derived window."""
     i = pl.program_id(1)
     j = pl.program_id(2)
-    win_h = out_h + 2 * TILE_H
-    ys, xs = _window_origin(i, j, H, W, out_h)
+    win_h = out_h + 2 * extra_tiles * TILE_H
+    ys, xs = _window_origin(i, j, H, W, out_h, extra_tiles)
     x = jnp.clip(coords_ref[0, 0], 0.0, W - 1)
     y = jnp.clip(coords_ref[0, 1], 0.0, H - 1)
     x0 = jnp.minimum(jnp.floor(x), W - 2)
@@ -299,18 +305,41 @@ def _row_gather_all_channels(src_win_ref, w, xr, C):
     return out.reshape(C, out_h, TILE_W)
 
 
-def _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit):
+def _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit,
+                      extra_tiles=1, sparse=False):
     """Shared row sweep for the static kernels.
 
-    Walks the window rows once, reusing each row's gathers as both the
-    'bottom' of row pair w-1 and the 'top' of row pair w (halves the gather
-    count), with all channels served per gather.  Calls
-    `emit(w, hit, va0, va1, vb0, vb1, wx, wy)` for each row pair, where the
-    v* are (C, out_h, TILE_W)."""
+    Dense mode walks every window row once, reusing each row's gathers as
+    both the 'bottom' of row pair w-1 and the 'top' of row pair w (halves
+    the gather count), with all channels served per gather.
+
+    Sparse mode predicates each row pair on `any(yr == w)` via `pl.when`
+    (scalar scf.if — still no dynamic addressing): rows no output pixel maps
+    to are skipped at runtime.  A smooth warp's out_h-row block touches only
+    ~out_h+|flow| source rows, so taller windows (extra_tiles=2 -> 16-24 px
+    vertical margin) cost almost nothing.  Each executed pair re-gathers its
+    two rows (4 gathers, no cross-pair reuse) — worth it when most pairs
+    skip.  In sparse mode `emit` runs inside the cond, so it MUST write refs
+    (Python-carried accumulators don't escape a pl.when body).
+
+    Calls `emit(w, hit, va0, va1, vb0, vb1, wx, wy)` per (executed) row
+    pair, v* of shape (C, out_h, TILE_W)."""
     C = src_win_ref.shape[1]
-    win_h = out_h + 2 * TILE_H
-    xr, yr, wx, wy = _static_tile_coords(coords_ref, H, W, out_h)
+    win_h = out_h + 2 * extra_tiles * TILE_H
+    xr, yr, wx, wy = _static_tile_coords(coords_ref, H, W, out_h, extra_tiles)
     xr1 = jnp.minimum(xr + 1, SWIN_W - 1)
+    if sparse:
+        for w in range(win_h - 1):
+            hit = yr == w
+
+            @pl.when(jnp.any(hit))
+            def _(w=w, hit=hit):
+                a0 = _row_gather_all_channels(src_win_ref, w, xr, C)
+                a1 = _row_gather_all_channels(src_win_ref, w, xr1, C)
+                b0 = _row_gather_all_channels(src_win_ref, w + 1, xr, C)
+                b1 = _row_gather_all_channels(src_win_ref, w + 1, xr1, C)
+                emit(w, hit, a0, a1, b0, b1, wx, wy)
+        return wx, wy
     b0 = _row_gather_all_channels(src_win_ref, 0, xr, C)
     b1 = _row_gather_all_channels(src_win_ref, 0, xr1, C)
     for w in range(win_h - 1):
@@ -321,20 +350,33 @@ def _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit):
     return wx, wy
 
 
-def _warp_kernel_static(src_win_ref, coords_ref, out_ref, *, H, W, out_h):
+def _warp_kernel_static(src_win_ref, coords_ref, out_ref, *, H, W, out_h,
+                        extra_tiles, sparse):
     C = src_win_ref.shape[1]
     acc = [jnp.zeros((C, out_h, TILE_W), jnp.float32)]
+    if sparse:
+        out_ref[0] = acc[0]
 
-    def emit(w, hit, a0, a1, b0, b1, wx, wy):
-        top = a0 * (1 - wx) + a1 * wx
-        bot = b0 * (1 - wx) + b1 * wx
-        acc[0] = jnp.where(hit, top * (1 - wy) + bot * wy, acc[0])
+        def emit(w, hit, a0, a1, b0, b1, wx, wy):
+            top = a0 * (1 - wx) + a1 * wx
+            bot = b0 * (1 - wx) + b1 * wx
+            out_ref[0] = jnp.where(hit, top * (1 - wy) + bot * wy, out_ref[0])
 
-    _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit)
-    out_ref[0] = acc[0]
+    else:
+
+        def emit(w, hit, a0, a1, b0, b1, wx, wy):
+            top = a0 * (1 - wx) + a1 * wx
+            bot = b0 * (1 - wx) + b1 * wx
+            acc[0] = jnp.where(hit, top * (1 - wy) + bot * wy, acc[0])
+
+    _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit,
+                      extra_tiles, sparse)
+    if not sparse:
+        out_ref[0] = acc[0]
 
 
-def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W, out_h):
+def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W,
+                        out_h, extra_tiles, sparse):
     x = coords_ref[0, 0]
     y = coords_ref[0, 1]
 
@@ -344,6 +386,22 @@ def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W, ou
         return inside + 0.5 * tie
 
     g = g_ref[0]  # (C, out_h, TILE_W)
+    if sparse:
+        dcoords_ref[0, 0] = jnp.zeros((out_h, TILE_W), jnp.float32)
+        dcoords_ref[0, 1] = jnp.zeros((out_h, TILE_W), jnp.float32)
+
+        def emit(w, hit, a0, a1, b0, b1, wx, wy):
+            ddx = (g * ((a1 - a0) * (1 - wy) + (b1 - b0) * wy)).sum(axis=0)
+            ddy = (g * ((b0 - a0) * (1 - wx) + (b1 - a1) * wx)).sum(axis=0)
+            dcoords_ref[0, 0] = jnp.where(hit, ddx, dcoords_ref[0, 0])
+            dcoords_ref[0, 1] = jnp.where(hit, ddy, dcoords_ref[0, 1])
+
+        _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit,
+                          extra_tiles, sparse)
+        dcoords_ref[0, 0] = dcoords_ref[0, 0] * live(x, W - 1)
+        dcoords_ref[0, 1] = dcoords_ref[0, 1] * live(y, H - 1)
+        return
+
     dx = [jnp.zeros((out_h, TILE_W), jnp.float32)]
     dy = [jnp.zeros((out_h, TILE_W), jnp.float32)]
 
@@ -353,18 +411,19 @@ def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W, ou
         dx[0] = jnp.where(hit, ddx, dx[0])
         dy[0] = jnp.where(hit, ddy, dy[0])
 
-    _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit)
+    _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit,
+                      extra_tiles, sparse)
     dcoords_ref[0, 0] = dx[0] * live(x, W - 1)
     dcoords_ref[0, 1] = dy[0] * live(y, H - 1)
 
 
-def _static_specs(B, H, W, C, out_channels, out_h):
+def _static_specs(B, H, W, C, out_channels, out_h, extra_tiles=1):
     from jax.experimental.pallas import Element
 
-    win_h = out_h + 2 * TILE_H
+    win_h = out_h + 2 * extra_tiles * TILE_H
 
     def win_index(b, i, j):
-        ys, xs = _window_origin(i, j, H, W, out_h)
+        ys, xs = _window_origin(i, j, H, W, out_h, extra_tiles)
         return (b, 0, ys, xs)
 
     return dict(
@@ -386,14 +445,15 @@ def _static_specs(B, H, W, C, out_channels, out_h):
     )
 
 
-def _pallas_warp_static_impl(src, coords, interpret):
+def _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse):
     B, H, W, C = src.shape
     assert H % TILE_H == 0 and W % TILE_W == 0, (H, W)
-    assert H >= 3 * TILE_H and W >= SWIN_W, (H, W)
     out_h = _pick_out_h(H)
-    spec = _static_specs(B, H, W, C, C, out_h)
+    assert H >= out_h + 2 * extra_tiles * TILE_H and W >= SWIN_W, (H, W)
+    spec = _static_specs(B, H, W, C, C, out_h, extra_tiles)
     out = pl.pallas_call(
-        partial(_warp_kernel_static, H=H, W=W, out_h=out_h),
+        partial(_warp_kernel_static, H=H, W=W, out_h=out_h,
+                extra_tiles=extra_tiles, sparse=sparse),
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
         interpret=interpret,
         **spec,
@@ -401,30 +461,39 @@ def _pallas_warp_static_impl(src, coords, interpret):
     return out.transpose(0, 2, 3, 1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def pallas_warp_static(src: jax.Array, coords: jax.Array, interpret: bool = False):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def pallas_warp_static(src: jax.Array, coords: jax.Array,
+                       interpret: bool = False, extra_tiles: int = 1,
+                       sparse: bool = False):
     """Bilinear warp via the STATIC-window Pallas kernel (no in-kernel
     dynamic addressing — compiles on toolchains whose Mosaic rejects dynamic
-    `pl.ds`).  Exact for displacements within one (8, 128) tile of
-    the output block; beyond that the source clamps to the block's window."""
-    return _pallas_warp_static_impl(src, coords, interpret)
+    `pl.ds`).  Exact for displacements within `extra_tiles` (8, 128) tiles of
+    the output block (vertical margin ~8*extra_tiles px, horizontal 128 px);
+    beyond that the source clamps to the block's window.  `sparse=True`
+    skips window rows no output pixel maps to via pl.when (see
+    _scan_window_rows)."""
+    return _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse)
 
 
-def _static_fwd(src, coords, interpret):
-    return _pallas_warp_static_impl(src, coords, interpret), (src, coords)
+def _static_fwd(src, coords, interpret, extra_tiles, sparse):
+    return (
+        _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse),
+        (src, coords),
+    )
 
 
-def _static_bwd(interpret, residuals, g):
+def _static_bwd(interpret, extra_tiles, sparse, residuals, g):
     src, coords = residuals
     B, H, W, C = src.shape
     out_h = _pick_out_h(H)
-    spec = _static_specs(B, H, W, C, 2, out_h)
+    spec = _static_specs(B, H, W, C, 2, out_h, extra_tiles)
     spec["in_specs"].append(
         pl.BlockSpec((1, C, out_h, TILE_W), lambda b, i, j: (b, 0, i, j),
                      memory_space=pltpu.VMEM)
     )
     dcoords = pl.pallas_call(
-        partial(_grad_kernel_static, H=H, W=W, out_h=out_h),
+        partial(_grad_kernel_static, H=H, W=W, out_h=out_h,
+                extra_tiles=extra_tiles, sparse=sparse),
         out_shape=jax.ShapeDtypeStruct((B, 2, H, W), jnp.float32),
         interpret=interpret,
         **spec,

@@ -73,6 +73,13 @@ class LossConfig(NamedTuple):
     # min-reprojection auto-mask discards anyway, and the end-to-end SLAM
     # quality A/B matched (BASELINE.md round 2).
     use_pallas_warp: bool = True
+    # Static-warp window height = 8 + 2*extra_tiles*8 rows: extra_tiles=2
+    # widens the exact vertical-displacement domain to ~16-24 px (near-field
+    # road rows at 192x640 exceed the round-2 ~8 px margin — ADVICE r2).
+    # `pallas_sparse` row-skips window rows no output pixel maps to
+    # (pl.when), making the taller window nearly free for small flows.
+    pallas_extra_tiles: int = 1
+    pallas_sparse: bool = False
     # Anti-collapse log-mean-disparity prior (losses/photometric.py) for
     # low-parallax pretraining; 0 disables.  The Pretrainer activates it for
     # the first `scale_prior_epochs` epochs only.
@@ -195,12 +202,14 @@ def warp_and_loss(
     src = jnp.concatenate(
         [tile(batch.frame(-1), S), tile(batch.frame(1), S)], axis=0
     )
-    if cfg.use_pallas_warp and H % 8 == 0 and W % 128 == 0 and H >= 24 and W >= 384:
+    min_h = 8 + 16 * cfg.pallas_extra_tiles
+    if cfg.use_pallas_warp and H % 8 == 0 and W % 128 == 0 and H >= min_h and W >= 384:
         from tpuslam.ops.pallas_warp import pallas_warp_static
 
         # interpret mode off TPU (pallas compiles natively only there)
         warped = pallas_warp_static(
-            src, coords, jax.default_backend() != "tpu"
+            src, coords, jax.default_backend() != "tpu",
+            cfg.pallas_extra_tiles, cfg.pallas_sparse,
         )
     else:
         warped = bilinear_sampler(src, coords)
