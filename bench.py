@@ -83,6 +83,13 @@ def main() -> None:
     assert np.isfinite(final_loss), "bench produced non-finite loss"
 
     fps = MEASURE / elapsed
+
+    # host-side feed cost (decode/render + batch assembly + transfer) so
+    # BENCH_r* also exposes host regressions, not just the device path —
+    # at native device speeds the host pipeline is the next bottleneck
+    from tpuslam.utils.profiling import profile_host_pipeline
+
+    host = profile_host_pipeline(height=HEIGHT, width=WIDTH, samples=8)
     print(
         json.dumps(
             {
@@ -90,6 +97,7 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/sec (5 adapt iters + eval fwd, batch 3, 192x640)",
                 "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
+                "host_ms_per_frame": host["ms_total_host"],
             }
         )
     )
