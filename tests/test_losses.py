@@ -241,3 +241,12 @@ def test_scale_prior_anti_collapse(rng):
 
     g = jax.grad(prior_only)(jnp.full((B, H, W, 1), 0.001))
     assert float(np.asarray(g).mean()) < 0  # decrease loss by increasing disp
+
+
+def test_depth_to_disp_round_trip():
+    from tpuslam.geometry.depth import depth_to_disp, disp_to_depth
+
+    for lo, hi in ((None, None), (0.1, None), (0.1, 80.0)):
+        d = depth_to_disp(15.0, lo, hi)
+        back = float(disp_to_depth(jnp.asarray(d), lo, hi))
+        np.testing.assert_allclose(back, 15.0, rtol=1e-6)

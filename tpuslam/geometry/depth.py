@@ -35,3 +35,22 @@ def disp_to_depth(
     max_disp = 1.0 / min_depth
     scaled_disp = min_disp + (max_disp - min_disp) * disp
     return 1.0 / scaled_disp
+
+
+def depth_to_disp(
+    depth: float,
+    min_depth: Optional[float] = None,
+    max_depth: Optional[float] = None,
+) -> float:
+    """Exact inverse of `disp_to_depth` for a scalar target (all three
+    mapping branches).  Used to express the anti-collapse scale prior as a
+    metric target depth independent of the configured disparity mapping."""
+    if min_depth is None and max_depth is None:
+        return 1.0 / depth
+    if max_depth is None:
+        return min_depth / depth
+    if min_depth is None:
+        raise ValueError("min_depth is None while max_depth is set")
+    min_disp = 1.0 / max_depth
+    max_disp = 1.0 / min_depth
+    return (1.0 / depth - min_disp) / (max_disp - min_disp)

@@ -45,7 +45,7 @@ from tpuslam.geometry.camera import (
     project_3d,
     resize_bilinear,
 )
-from tpuslam.geometry.depth import disp_to_depth
+from tpuslam.geometry.depth import depth_to_disp, disp_to_depth
 from tpuslam.geometry.se3 import transformation_from_parameters
 from tpuslam.losses.photometric import identity_reprojection, total_loss
 from tpuslam.models.depth_pose import DepthPoseNet
@@ -82,9 +82,12 @@ class LossConfig(NamedTuple):
     pallas_sparse: bool = False
     # Anti-collapse log-mean-disparity prior (losses/photometric.py) for
     # low-parallax pretraining; 0 disables.  The Pretrainer activates it for
-    # the first `scale_prior_epochs` epochs only.
+    # the first `scale_prior_epochs` epochs only.  The target is a metric
+    # MEAN DEPTH, converted through the configured disparity mapping
+    # (geometry.depth.depth_to_disp) — a raw disparity target would mean a
+    # wildly different depth under each min/max_depth setting.
     scale_prior_weight: float = 0.0
-    scale_prior_disp: float = 0.15
+    scale_prior_depth: float = 15.0
 
 
 def _avg_pool2(x: jax.Array) -> jax.Array:
@@ -251,7 +254,11 @@ def warp_and_loss(
         dynamic_masks=dynamic_masks,
         identity_base=identity_base,
         scale_prior_weight=cfg.scale_prior_weight,
-        scale_prior_disp=cfg.scale_prior_disp,
+        scale_prior_disp=(
+            depth_to_disp(cfg.scale_prior_depth, cfg.min_depth, cfg.max_depth)
+            if cfg.scale_prior_weight > 0
+            else 0.0
+        ),
     )
     return losses, outputs
 
