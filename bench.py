@@ -11,10 +11,12 @@ Prints ONE JSON line: frames/sec vs the 100 fps north star
 """
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tpuslam.data import SyntheticDataset
@@ -57,10 +59,25 @@ def build_batches():
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="conv compute dtype (params stay f32)")
+    ap.add_argument("--extra-tiles", type=int, default=None,
+                    help="override LossConfig.pallas_extra_tiles")
+    ap.add_argument("--sparse", action="store_true",
+                    help="enable pallas_sparse row-skip")
+    args = ap.parse_args()
+
     model, variables = init_depth_pose(
-        jax.random.PRNGKey(0), height=HEIGHT, width=WIDTH
+        jax.random.PRNGKey(0), height=HEIGHT, width=WIDTH, dtype=jnp.dtype(args.dtype)
     )
-    cfg = LossConfig(scales=(0, 1, 2, 3), min_depth=0.1, max_depth=None)  # pallas warp on by default
+    overrides = {}
+    if args.extra_tiles is not None:
+        overrides["pallas_extra_tiles"] = args.extra_tiles
+    if args.sparse:
+        overrides["pallas_sparse"] = True
+    cfg = LossConfig(scales=(0, 1, 2, 3), min_depth=0.1, max_depth=None,
+                     **overrides)  # pallas warp on by default
     tx = make_adapt_optimizer(variables["params"], 1e-4)
     state = make_train_state(variables["params"], variables["batch_stats"], tx)
     batches = build_batches()

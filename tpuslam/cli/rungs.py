@@ -93,6 +93,10 @@ def main(argv=None) -> int:
         "--rungs", type=str, default="1,2,3,4,5",
         help="comma-separated subset of rungs to run",
     )
+    ap.add_argument(
+        "--dtype", default=None, choices=["float32", "bfloat16"],
+        help="conv compute dtype override (quality/speed A/B; params stay f32)",
+    )
     args = ap.parse_args(argv)
     which = {int(r) for r in args.rungs.split(",")}
 
@@ -105,6 +109,7 @@ def main(argv=None) -> int:
         cfg.depth_pose = DepthPoseConfig(
             batch_size=batch_size, scales=(0, 1, 2, 3), max_depth=80.0,
             log_path=args.log / tag, load_weights_folder=args.weights,
+            **({"dtype": args.dtype} if args.dtype else {}),
         )
         defaults = dict(
             adaptation=True, adaptation_epochs=3, min_distance=0.0,
