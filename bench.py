@@ -60,8 +60,9 @@ def build_batches():
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
-                    help="conv compute dtype (params stay f32)")
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
+                    help="conv compute dtype (params stay f32; bfloat16 is the "
+                         "shipped DepthPoseConfig default — see BASELINE.md A/B)")
     ap.add_argument("--extra-tiles", type=int, default=None,
                     help="override LossConfig.pallas_extra_tiles")
     ap.add_argument("--sparse", action="store_true",

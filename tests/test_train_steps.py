@@ -216,3 +216,28 @@ def test_bfloat16_conv_path_smoke(rng):
     assert np.isfinite(float(losses["loss"]))
     assert np.isfinite(np.asarray(outputs[("depth", 0)])).all()
     assert outputs[("cam_T_cam", 0, 1)].dtype == jnp.float32  # geometry stays f32
+
+
+def test_flat_adapt_optimizer_matches_tree_form(setup, rng):
+    """The flattened masked Adam (default) must produce the SAME update as
+    the multi_transform tree form — Adam is elementwise and the global-norm
+    clip sees exactly the trainable leaves in both, so equality is exact up
+    to concat/reshape float noise."""
+    model, variables = setup
+    params = variables["params"]
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(np.random.default_rng(0).normal(size=p.shape), p.dtype),
+        params,
+    )
+    for clip in (None, 1.0):
+        tx_flat = make_adapt_optimizer(params, 1e-3, grad_clip_norm=clip, flatten=True)
+        tx_tree = make_adapt_optimizer(params, 1e-3, grad_clip_norm=clip, flatten=False)
+        s_flat, s_tree = tx_flat.init(params), tx_tree.init(params)
+        for _ in range(3):  # a few steps so moments/bias correction engage
+            u_flat, s_flat = tx_flat.update(grads, s_flat, params)
+            u_tree, s_tree = tx_tree.update(grads, s_tree, params)
+        flat_l = jax.tree_util.tree_leaves(u_flat)
+        tree_l = jax.tree_util.tree_leaves(u_tree)
+        assert len(flat_l) == len(tree_l)
+        for a, b in zip(flat_l, tree_l):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

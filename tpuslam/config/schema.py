@@ -65,7 +65,11 @@ class DepthPoseConfig:
     load_weights_folder: Optional[Path] = None
     use_wandb: bool = False
     # TPU-native knobs
-    dtype: str = "float32"  # or "bfloat16" for the conv compute path
+    # Conv compute dtype; params and geometry stay f32.  bfloat16 is the
+    # default: rides the MXU's native precision, and the rung-2 quality A/B
+    # measured equal ATE/abs_rel at +28% end-to-end fps (BASELINE.md round
+    # 3).  Set "float32" to reproduce reference numerics exactly.
+    dtype: str = "bfloat16"
     dp_devices: int = 1  # data-parallel mesh size for pretraining
     # Pallas static-window warp kernel (~6x faster warp stage on TPU; exact
     # within one (8,128) tile of displacement, clamped beyond — see

@@ -14,6 +14,7 @@ infinite C-inf sum of sinusoids, so photometric gradients exist everywhere
 """
 from __future__ import annotations
 
+import zlib
 from typing import Tuple
 
 import numpy as np
@@ -29,21 +30,40 @@ _SKY_DEPTH = 80.0
 _CAM_HEIGHT = 1.6  # meters above the ground plane
 
 
-def _texture(x: np.ndarray, z: np.ndarray, seed: int) -> np.ndarray:
-    """Smooth infinite RGB texture: sum of random sinusoids over (x, z)."""
+def _texture_coeffs(seed: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(15, 2) frequencies, (15,) phases, (15,) octave weights — same draw
+    order as the original per-channel/per-octave loop (3 channels x 5
+    octaves), so a given seed keeps its world."""
     rng = np.random.default_rng(seed)
-    out = np.zeros(x.shape + (3,), np.float32)
-    for c in range(3):
-        acc = np.zeros_like(x)
+    fxz = np.empty((15, 2), np.float32)
+    ph = np.empty((15,), np.float32)
+    wt = np.empty((15,), np.float32)
+    i = 0
+    for _c in range(3):
         for octave in range(5):
             freq = 0.25 * (1.7**octave)
-            fx, fz = rng.normal(size=2) * freq
-            phase = rng.uniform(0, 2 * np.pi)
-            acc += np.sin(fx * x + fz * z + phase) / (1.4**octave)
-        out[..., c] = acc
+            fxz[i] = rng.normal(size=2) * freq
+            ph[i] = rng.uniform(0, 2 * np.pi)
+            wt[i] = 1.4**-octave
+            i += 1
+    return fxz, ph, wt
+
+
+def _texture(x: np.ndarray, z: np.ndarray, seed: int) -> np.ndarray:
+    """Smooth infinite RGB texture: sum of random sinusoids over (x, z).
+
+    One vectorised f32 `np.sin` over all 15 (channel, octave) sinusoids —
+    the scalar-coefficient form promoted everything to float64 and was the
+    dominant host-feed cost (15 separate full-image f64 sin passes,
+    ~3/4 of profile_host_pipeline's ms_decode at 192x640)."""
+    fxz, ph, wt = _texture_coeffs(seed)
+    x = np.asarray(x, np.float32)
+    z = np.asarray(z, np.float32)
+    args = x[..., None] * fxz[:, 0] + z[..., None] * fxz[:, 1] + ph  # (H, W, 15)
+    out = (np.sin(args) * wt).reshape(x.shape + (3, 5)).sum(axis=-1)
     out -= out.min()
     out /= max(out.max(), 1e-6)
-    return 0.15 + 0.7 * out
+    return (0.15 + 0.7 * out).astype(np.float32)
 
 
 def make_trajectory(
@@ -114,6 +134,7 @@ class SyntheticDataset:
         # sequential access renders each frame ~3x (as -1/0/+1 neighbour);
         # a small LRU of rendered frames removes the redundant ray casts
         self._render_cache: dict = {}
+        self._ray_grid = None
         self._aug_rng = np.random.default_rng(seed + 1)
         positions = self.global_poses[:, :3, 3]
         steps = np.linalg.norm(np.diff(positions, axis=0), axis=1)
@@ -125,9 +146,12 @@ class SyntheticDataset:
     def render(self, pose_wc: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Render (H, W, 3) image + (H, W) depth from a world-from-cam pose."""
         H, W = self.height, self.width
-        u, v = np.meshgrid(np.arange(W), np.arange(H), indexing="xy")
-        pix = np.stack([u, v, np.ones_like(u)], axis=-1).astype(np.float32)
-        d_cam = pix @ self.inv_K33.T  # (H, W, 3) ray directions (cam frame)
+        if self._ray_grid is None:
+            u, v = np.meshgrid(np.arange(W), np.arange(H), indexing="xy")
+            pix = np.stack([u, v, np.ones_like(u)], axis=-1).astype(np.float32)
+            # pose-independent ray directions (cam frame) — cached
+            self._ray_grid = (pix @ self.inv_K33.T, v.astype(np.float32))
+        d_cam, v = self._ray_grid
         R, t = pose_wc[:3, :3], pose_wc[:3, 3]
         d_world = d_cam @ R.T
         # camera y stays 0 on the planar trajectory; ground plane at y=+H (y down)
@@ -146,7 +170,9 @@ class SyntheticDataset:
         sky *= (0.8 + 0.2 * (v / max(H - 1, 1)))[..., None]
         img = np.where(hits[..., None], img, sky).astype(np.float32)
         if self.noise > 0:
-            nrng = np.random.default_rng(abs(hash(pose_wc.tobytes())) % 2**31)
+            # crc32, not hash(): str/bytes hashing is salted per process, so
+            # hash() would make renders non-reproducible across runs
+            nrng = np.random.default_rng(zlib.crc32(pose_wc.tobytes()))
             img = np.clip(img + nrng.normal(0, self.noise, img.shape), 0, 1).astype(
                 np.float32
             )

@@ -350,29 +350,55 @@ def _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit,
     return wx, wy
 
 
+def _select_neighbors(src_win_ref, coords_ref, H, W, out_h, extra_tiles):
+    """Dense sweep that SELECTS the four raw bilinear taps, deferring all
+    interpolation arithmetic to the (single) caller.
+
+    The per-pair emit of `_scan_window_rows` interpolates before selecting
+    (~10 VPU block-ops per window row); selecting the raw taps needs only 4
+    `where`s per row, and the bilinear/gradient math then runs ONCE on the
+    selected values — identical results (the hit masks are exclusive across
+    rows), ~40% fewer sweep ops.  Returns (A0, A1, B0, B1, wx, wy), each
+    value block (C, out_h, TILE_W)."""
+    C = src_win_ref.shape[1]
+    win_h = out_h + 2 * extra_tiles * TILE_H
+    xr, yr, wx, wy = _static_tile_coords(coords_ref, H, W, out_h, extra_tiles)
+    xr1 = jnp.minimum(xr + 1, SWIN_W - 1)
+    b0 = _row_gather_all_channels(src_win_ref, 0, xr, C)
+    b1 = _row_gather_all_channels(src_win_ref, 0, xr1, C)
+    A0 = A1 = B0 = B1 = jnp.zeros((C, out_h, TILE_W), jnp.float32)
+    for w in range(win_h - 1):
+        a0, a1 = b0, b1
+        b0 = _row_gather_all_channels(src_win_ref, w + 1, xr, C)
+        b1 = _row_gather_all_channels(src_win_ref, w + 1, xr1, C)
+        hit = yr == w
+        A0 = jnp.where(hit, a0, A0)
+        A1 = jnp.where(hit, a1, A1)
+        B0 = jnp.where(hit, b0, B0)
+        B1 = jnp.where(hit, b1, B1)
+    return A0, A1, B0, B1, wx, wy
+
+
 def _warp_kernel_static(src_win_ref, coords_ref, out_ref, *, H, W, out_h,
                         extra_tiles, sparse):
     C = src_win_ref.shape[1]
-    acc = [jnp.zeros((C, out_h, TILE_W), jnp.float32)]
     if sparse:
-        out_ref[0] = acc[0]
+        out_ref[0] = jnp.zeros((C, out_h, TILE_W), jnp.float32)
 
         def emit(w, hit, a0, a1, b0, b1, wx, wy):
             top = a0 * (1 - wx) + a1 * wx
             bot = b0 * (1 - wx) + b1 * wx
             out_ref[0] = jnp.where(hit, top * (1 - wy) + bot * wy, out_ref[0])
 
-    else:
-
-        def emit(w, hit, a0, a1, b0, b1, wx, wy):
-            top = a0 * (1 - wx) + a1 * wx
-            bot = b0 * (1 - wx) + b1 * wx
-            acc[0] = jnp.where(hit, top * (1 - wy) + bot * wy, acc[0])
-
-    _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit,
-                      extra_tiles, sparse)
-    if not sparse:
-        out_ref[0] = acc[0]
+        _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit,
+                          extra_tiles, sparse)
+        return
+    a0, a1, b0, b1, wx, wy = _select_neighbors(
+        src_win_ref, coords_ref, H, W, out_h, extra_tiles
+    )
+    top = a0 * (1 - wx) + a1 * wx
+    bot = b0 * (1 - wx) + b1 * wx
+    out_ref[0] = top * (1 - wy) + bot * wy
 
 
 def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W,
@@ -402,19 +428,13 @@ def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W,
         dcoords_ref[0, 1] = dcoords_ref[0, 1] * live(y, H - 1)
         return
 
-    dx = [jnp.zeros((out_h, TILE_W), jnp.float32)]
-    dy = [jnp.zeros((out_h, TILE_W), jnp.float32)]
-
-    def emit(w, hit, a0, a1, b0, b1, wx, wy):
-        ddx = (g * ((a1 - a0) * (1 - wy) + (b1 - b0) * wy)).sum(axis=0)
-        ddy = (g * ((b0 - a0) * (1 - wx) + (b1 - a1) * wx)).sum(axis=0)
-        dx[0] = jnp.where(hit, ddx, dx[0])
-        dy[0] = jnp.where(hit, ddy, dy[0])
-
-    _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit,
-                      extra_tiles, sparse)
-    dcoords_ref[0, 0] = dx[0] * live(x, W - 1)
-    dcoords_ref[0, 1] = dy[0] * live(y, H - 1)
+    a0, a1, b0, b1, wx, wy = _select_neighbors(
+        src_win_ref, coords_ref, H, W, out_h, extra_tiles
+    )
+    ddx = (g * ((a1 - a0) * (1 - wy) + (b1 - b0) * wy)).sum(axis=0)
+    ddy = (g * ((b0 - a0) * (1 - wx) + (b1 - a1) * wx)).sum(axis=0)
+    dcoords_ref[0, 0] = ddx * live(x, W - 1)
+    dcoords_ref[0, 1] = ddy * live(y, H - 1)
 
 
 def _static_specs(B, H, W, C, out_channels, out_h, extra_tiles=1):

@@ -17,6 +17,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -58,12 +59,27 @@ def make_adapt_optimizer(
     learning_rate: float = 1e-4,
     freeze_encoder: bool = True,
     grad_clip_norm: Optional[float] = None,
+    flatten: bool = False,
 ) -> optax.GradientTransformation:
     """Adam over decoder params only; encoder entries are masked out.
 
     `grad_clip_norm` prepends global-norm clipping — the reference has no
     clipping (parity default None), but aggressive online adaptation can
-    produce gradient spikes; see BASELINE.md stability notes."""
+    produce gradient spikes; see BASELINE.md stability notes.
+
+    `flatten=True` runs the inner Adam on ONE concatenated vector of the
+    trainable leaves instead of a ~60-leaf tree; per-element math is
+    identical (Adam is elementwise; global-norm clip sees exactly the
+    trainable leaves either way — tests/test_train_steps.py asserts
+    equality).  Measured OFF as the default: the STANDALONE tree-form
+    update costs 8.6 ms on the dev attachment (per-dispatch overhead,
+    calibration table in BASELINE.md), but inside the fused adapt scan XLA
+    fuses each leaf's Adam update into the kernel producing that leaf's
+    gradient, so the flat form only adds concat/scatter traffic (bench:
+    7.31 vs 7.50 fps).  Keep it in mind for optimizers driven OUTSIDE a
+    fused graph.  Note the opt_state pytree differs between forms, so
+    checkpoints written with one resume the other via the fresh-optimizer
+    fallback (tpuslam/checkpoint/io.py)."""
     def adam():
         if grad_clip_norm is None:
             return optax.adam(learning_rate)
@@ -73,6 +89,8 @@ def make_adapt_optimizer(
 
     if not freeze_encoder:
         return adam()
+    if flatten:
+        return _flat_masked_transform(params, adam())
     labels = jax.tree_util.tree_map(
         lambda frozen: "frozen" if frozen else "train", encoder_path_mask(params)
     )
@@ -80,6 +98,46 @@ def make_adapt_optimizer(
         {"train": adam(), "frozen": optax.set_to_zero()},
         labels,
     )
+
+
+def _flat_masked_transform(
+    params, inner: optax.GradientTransformation
+) -> optax.GradientTransformation:
+    """Apply `inner` to the trainable (non-encoder) leaves as one flat vector.
+
+    Frozen leaves receive zero updates (the same contract as the
+    multi_transform/set_to_zero form — `optax.apply_updates` still walks the
+    full tree).  Leaf bookkeeping (indices, shapes, split offsets) is static,
+    captured from `params` at factory time."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    frozen = jax.tree_util.tree_leaves(encoder_path_mask(params))
+    assert len(frozen) == len(leaves)
+    train_idx = [i for i, f in enumerate(frozen) if not f]
+    shapes = [leaves[i].shape for i in train_idx]
+    sizes = [int(np.prod(s)) for s in shapes]
+    offsets = np.cumsum([0] + sizes).tolist()
+
+    def _concat(tree):
+        ls = jax.tree_util.tree_leaves(tree)
+        return jnp.concatenate([ls[i].reshape(-1) for i in train_idx])
+
+    def _scatter(flat, like_tree):
+        ls = list(jax.tree_util.tree_leaves(like_tree))
+        out = [jnp.zeros_like(l) for l in ls]
+        for k, i in enumerate(train_idx):
+            out[i] = flat[offsets[k] : offsets[k + 1]].reshape(shapes[k])
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init(params):
+        return inner.init(_concat(params))
+
+    def update(updates, state, params=None):
+        flat_u, new_state = inner.update(
+            _concat(updates), state, None if params is None else _concat(params)
+        )
+        return _scatter(flat_u, updates), new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_train_state(

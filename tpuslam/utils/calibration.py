@@ -163,6 +163,35 @@ def calibrate(
 
         return jax.value_and_grad(f)(coords)
 
+    # loss fwd+bwd alone (warped preds given): the non-warp, non-conv slice
+    # of the per-iteration cost — sizes the fused-loss-kernel opportunity
+    from tpuslam.losses.photometric import total_loss
+
+    loss_inputs = {("rgb", f, 0): jnp.asarray(
+        rng.uniform(size=(B, H, W, 3)).astype(np.float32)) for f in (0, -1, 1)}
+    for s in (1, 2, 3):
+        loss_inputs[("rgb", 0, s)] = jnp.asarray(
+            rng.uniform(size=(B, H // 2**s, W // 2**s, 3)).astype(np.float32))
+    for f in (0, 1):
+        loss_inputs[("relative_distance", f)] = jnp.asarray(
+            rng.uniform(0.5, 2.0, size=(B,)).astype(np.float32))
+    loss_outputs = {}
+    for s in (0, 1, 2, 3):
+        for f in (-1, 1):
+            loss_outputs[("rgb", f, s)] = jnp.asarray(
+                rng.uniform(size=(B, H, W, 3)).astype(np.float32))
+        loss_outputs[("disp", s)] = jnp.asarray(
+            rng.uniform(0.01, 1.0, size=(B, H // 2**s, W // 2**s, 1)).astype(np.float32))
+    for f in (-1, 1):
+        loss_outputs[("translation", 0, f)] = jnp.asarray(
+            rng.uniform(size=(B, 3)).astype(np.float32))
+
+    def loss_fwd_bwd(outputs):
+        def f(o):
+            return total_loss(loss_inputs, o, scales=(0, 1, 2, 3))["loss"]
+
+        return jax.value_and_grad(f)(outputs)
+
     # Adam update on the decoder-masked tree (the adapt optimizer)
     tx = make_adapt_optimizer(params, 1e-4)
     state = make_train_state(params, stats, tx)
@@ -186,6 +215,7 @@ def calibrate(
         ("encoder_fwd", jax.jit(encoders), (params,), PEAK_FLOPS_F32),
         ("decoder_fwd", jax.jit(dec_fwd), (params,), PEAK_FLOPS_F32),
         ("iter_fwd_bwd", jax.jit(iter_fwd_bwd), (params,), PEAK_FLOPS_F32),
+        ("loss_fwd_bwd", jax.jit(loss_fwd_bwd), (loss_outputs,), PEAK_FLOPS_F32),
         ("warp_pallas_fwd_bwd", jax.jit(warp_pallas_fb), (src, coords), PEAK_FLOPS_F32),
         ("warp_xla_fwd_bwd", jax.jit(warp_xla_fb), (src, coords), PEAK_FLOPS_F32),
         ("adam_update", jax.jit(adam), (state.opt_state, grads, params), PEAK_FLOPS_F32),
