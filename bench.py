@@ -59,6 +59,7 @@ def build_batches():
 
 
 def main() -> None:
+    global HEIGHT, WIDTH
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
                     help="conv compute dtype (params stay f32; bfloat16 is the "
@@ -67,7 +68,10 @@ def main() -> None:
                     help="override LossConfig.pallas_extra_tiles")
     ap.add_argument("--sparse", action="store_true",
                     help="enable pallas_sparse row-skip")
+    ap.add_argument("--height", type=int, default=HEIGHT)
+    ap.add_argument("--width", type=int, default=WIDTH)
     args = ap.parse_args()
+    HEIGHT, WIDTH = args.height, args.width
 
     model, variables = init_depth_pose(
         jax.random.PRNGKey(0), height=HEIGHT, width=WIDTH, dtype=jnp.dtype(args.dtype)
@@ -113,7 +117,7 @@ def main() -> None:
             {
                 "metric": "online_adapt_frames_per_sec",
                 "value": round(fps, 2),
-                "unit": "frames/sec (5 adapt iters + eval fwd, batch 3, 192x640)",
+                "unit": f"frames/sec (5 adapt iters + eval fwd, batch 3, {HEIGHT}x{WIDTH})",
                 "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
                 "host_ms_per_frame": host["ms_total_host"],
             }

@@ -220,6 +220,7 @@ def calibrate(
         ("warp_xla_fwd_bwd", jax.jit(warp_xla_fb), (src, coords), PEAK_FLOPS_F32),
         ("adam_update", jax.jit(adam), (state.opt_state, grads, params), PEAK_FLOPS_F32),
     ]
+    ana = analytic_bytes(height, width, batch_size, len(cfg.scales))
     rows = []
     for name, fn, args, peak in table:
         if classes is not None and name not in classes:
@@ -227,21 +228,93 @@ def calibrate(
         ms = _time_chained(fn, args, repeats=repeats)
         cost = _cost(fn, *args)
         sol_flops_ms = cost["flops"] / peak * 1e3
-        sol_bytes_ms = cost["bytes"] / PEAK_HBM_GBS * 1e3
-        sol_ms = max(sol_flops_ms, sol_bytes_ms)
+        # XLA's `bytes accessed` is fusion-blind (sums every HLO operand as
+        # if it round-tripped HBM; ~250x overcount on gathers) — kept as the
+        # upper-bound column; the roofline uses the analytic fused traffic
+        ana_b = ana.get(name)
+        ana_sol_ms = (ana_b / PEAK_HBM_GBS * 1e3) if ana_b else float("nan")
+        sol_ms = (
+            max(sol_flops_ms, ana_sol_ms)
+            if ana_b
+            else max(sol_flops_ms, cost["bytes"] / PEAK_HBM_GBS * 1e3)
+        )
         rows.append(
             {
                 "class": name,
                 "measured_ms": round(ms, 3),
                 "gflops": round(cost["flops"] / 1e9, 2),
-                "gbytes": round(cost["bytes"] / 1e9, 3),
+                "xla_gbytes_ub": round(cost["bytes"] / 1e9, 3),
+                "ana_gbytes": round(ana_b / 1e9, 3) if ana_b else float("nan"),
                 "sol_ms": round(sol_ms, 4),
-                "bound": "hbm" if sol_bytes_ms > sol_flops_ms else "mxu",
+                "bound": "hbm" if sol_ms > sol_flops_ms else "mxu",
                 "relay_factor": round(ms / sol_ms, 1) if sol_ms > 0 else float("nan"),
                 "proj_native_ms": round(sol_ms / ASSUMED_EFFICIENCY, 3),
             }
         )
     return rows
+
+
+def analytic_bytes(height: int = 192, width: int = 640, batch: int = 3,
+                   scales: int = 4, dtype_bytes: int = 4) -> Dict[str, float]:
+    """Analytic FUSED HBM traffic per op class (bytes), assuming XLA fuses
+    elementwise chains so only stage inputs/outputs/weights round-trip HBM.
+
+    This replaces XLA's fusion-blind `bytes accessed` (which counts every
+    HLO operand as if it hit HBM — a ~250x overcount on gathers, see
+    BASELINE.md) with a lower-bound inventory of what MUST move:
+    weights + each conv's input/output activations for the CNNs, source
+    image + coords + output for the warp, pred/target maps + loss surfaces
+    for the loss, and 4x params (p, g, m, v read + write) for Adam.  True
+    traffic sits between this bound and ~2x of it (imperfect fusion,
+    padding); the roofline in BASELINE.md uses it with a 40% efficiency
+    assumption."""
+    B, H, W, D = batch, height, width, dtype_bytes
+    img = H * W * 3 * D
+
+    def resnet18_acts(h, w, b):
+        # conv1 -> maxpool -> 4 stages x 2 basic blocks (2 convs each);
+        # traffic = in + out of every conv (NHWC), plus the residual adds'
+        # extra read of the skip tensor
+        t = b * (h * w * 3 + h // 2 * (w // 2) * 64) * D          # conv1
+        t += b * (h // 2 * (w // 2) * 64 + h // 4 * (w // 4) * 64) * D  # pool
+        for stage, (ch, red) in enumerate([(64, 4), (128, 8), (256, 16), (512, 32)]):
+            hw = (h // red) * (w // red)
+            per_conv = b * hw * ch * 2 * D
+            t += 4 * per_conv + 2 * b * hw * ch * D  # 4 convs + 2 skip reads
+        return t
+
+    resnet_w = 11.7e6 * D  # ~11.7M params per ResNet18 encoder
+    encoders = (
+        resnet18_acts(H, W, B)            # depth encoder, batch B
+        + resnet18_acts(H, W, 2 * B)      # pose encoder, doubled batch, 6ch stem
+        + 2 * resnet_w
+    )
+
+    # depth decoder: 5 upconv levels x 2 convs, channels 256..16, at
+    # H/16..H resolutions, plus skip reads and `scales` disp heads
+    dec = 0.0
+    for ch, red in [(256, 16), (128, 8), (64, 4), (32, 2), (16, 1)]:
+        hw = (H // red) * (W // red)
+        dec += B * hw * ch * 2 * 2 * D + B * hw * ch * D  # 2 convs + skip
+    dec += scales * B * H * W * 1 * 2 * D                 # disp heads (approx)
+    dec += 3.2e6 * D                                      # decoder weights
+    pose_dec = B * (H // 32) * (W // 32) * 256 * 6 * D + 1.6e6 * D
+
+    maps = 2 * scales * B                                 # warped full-res maps
+    warp = maps * (2 * img + H * W * 2 * D)               # src+out+coords
+    # loss: 8 pred reads + 8 target reads + identity (2) + per-pixel loss
+    # surfaces fwd/bwd (~3x input traffic for SSIM stats + min/automask)
+    loss = 3 * (maps + 2) * img + maps * H * W * D
+    iter_fb = 2.2 * (dec + pose_dec) + warp * 2 + loss    # bwd ~1.2x fwd convs
+    adam = 4 * 2 * (3.2e6 + 1.6e6) * D                    # m,v,p,g r/w decoder tree
+    return {
+        "encoder_fwd": encoders,
+        "decoder_fwd": dec + pose_dec,
+        "iter_fwd_bwd": iter_fb,
+        "warp_pallas_fwd_bwd": warp * 2,
+        "loss_fwd_bwd": loss,
+        "adam_update": adam,
+    }
 
 
 def project_native_fps(rows: List[Dict], adapt_iters: int = 5) -> Dict[str, float]:
@@ -266,8 +339,8 @@ def project_native_fps(rows: List[Dict], adapt_iters: int = 5) -> Dict[str, floa
 
 def main() -> None:
     rows = calibrate()
-    header = ("class", "measured_ms", "gflops", "gbytes", "sol_ms", "bound",
-              "relay_factor", "proj_native_ms")
+    header = ("class", "measured_ms", "gflops", "xla_gbytes_ub", "ana_gbytes",
+              "sol_ms", "bound", "relay_factor", "proj_native_ms")
     print(" | ".join(header))
     for r in rows:
         print(" | ".join(str(r[k]) for k in header))
