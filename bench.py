@@ -59,7 +59,7 @@ def build_batches():
 
 
 def main() -> None:
-    global HEIGHT, WIDTH
+    global HEIGHT, WIDTH, ADAPT_ITERS
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
                     help="conv compute dtype (params stay f32; bfloat16 is the "
@@ -70,8 +70,11 @@ def main() -> None:
                     help="enable pallas_sparse row-skip")
     ap.add_argument("--height", type=int, default=HEIGHT)
     ap.add_argument("--width", type=int, default=WIDTH)
+    ap.add_argument("--iters", type=int, default=ADAPT_ITERS,
+                    help="adaptation iterations per frame (protocol default 5)")
     args = ap.parse_args()
     HEIGHT, WIDTH = args.height, args.width
+    ADAPT_ITERS = args.iters
 
     model, variables = init_depth_pose(
         jax.random.PRNGKey(0), height=HEIGHT, width=WIDTH, dtype=jnp.dtype(args.dtype)
@@ -117,7 +120,7 @@ def main() -> None:
             {
                 "metric": "online_adapt_frames_per_sec",
                 "value": round(fps, 2),
-                "unit": f"frames/sec (5 adapt iters + eval fwd, batch 3, {HEIGHT}x{WIDTH})",
+                "unit": f"frames/sec ({ADAPT_ITERS} adapt iters + eval fwd, batch 3, {HEIGHT}x{WIDTH})",
                 "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
                 "host_ms_per_frame": host["ms_total_host"],
             }

@@ -49,7 +49,12 @@ def main(argv=None) -> int:
         f.write(f"config: {args.config}\n{report}\n")
     if slam.step_times:
         fps = 1.0 / float(np.mean(slam.step_times[3:] or slam.step_times))
-        print(f"throughput: {fps:.1f} frames/sec (incl. host)")
+        warm = slam.step_times[5:] or slam.step_times
+        steady = 1.0 / float(np.mean(warm))
+        print(f"throughput: {fps:.1f} frames/sec (incl. host); "
+              f"steady-state {steady:.1f} fps over the last {len(warm)} frames "
+              f"(compare bench.py --height/--width at the same shape for the "
+              f"device-only ceiling)")
     return 0
 
 
