@@ -68,3 +68,17 @@ def test_cli_make_buffer_smoke(tmp_path, capsys):
     cfg = _synthetic_config(tmp_path)
     assert main(["--config", str(cfg), "--max-samples", "4"]) == 0
     assert (tmp_path / "buffer" / "buffer_state.pkl").exists()
+
+
+@pytest.mark.slow
+def test_cli_rungs_dtype_smoke(tmp_path, capsys):
+    """`cli.rungs --dtype` must thread the conv dtype through the ladder
+    (the bf16 quality-A/B command shipped in BASELINE.md round 3)."""
+    from tpuslam.cli.rungs import main
+
+    assert main([
+        "--frames", "6", "--height", "32", "--width", "64",
+        "--rungs", "1", "--dtype", "bfloat16", "--log", str(tmp_path / "rungs"),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "rung 1" in out and "ATE=" in out
