@@ -185,3 +185,37 @@ def test_pallas_warp_static_taller_window_extends_domain(rng):
     tall = np.asarray(pallas_warp_static(src, coords, True, 2, True))
     assert np.abs(narrow - ref).max() > 1e-3  # clamped somewhere
     np.testing.assert_allclose(tall, ref, atol=1e-5)
+
+
+def test_pallas_warp_static_packed_exact_on_bf16_sources(rng):
+    """Packed dual-tap mode is BIT-EXACT when the source values are
+    bf16-representable (the packing truncates to bf16): quantize to 7
+    mantissa bits and compare against the dense f32 path."""
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+
+    src, coords = _static_data(rng)
+    src = jnp.round(src * 128.0) / 128.0  # bf16-exact values in [0, 1]
+    dense = np.asarray(pallas_warp_static(src, coords, True))
+    packed = np.asarray(pallas_warp_static(src, coords, True, packed=True))
+    np.testing.assert_array_equal(packed, dense)
+
+
+def test_pallas_warp_static_packed_close_on_general_sources(rng):
+    """On arbitrary f32 sources the packed taps truncate to bf16: the warp
+    must stay within the bf16 quantisation bound (2^-8 absolute on [0,1]
+    values) of the dense path, forward and backward."""
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+
+    src, coords = _static_data(rng)
+    dense = np.asarray(pallas_warp_static(src, coords, True))
+    packed = np.asarray(pallas_warp_static(src, coords, True, packed=True))
+    np.testing.assert_allclose(packed, dense, atol=2 ** -8)
+
+    def loss(c, p):
+        return (pallas_warp_static(src, c, True, 1, False, p) ** 2).sum()
+
+    g_dense = np.asarray(jax.grad(loss)(coords, False))
+    g_packed = np.asarray(jax.grad(loss)(coords, True))
+    # grads involve tap DIFFERENCES of adjacent pixels — absolute error
+    # stays at the quantisation scale times the incoming cotangent
+    np.testing.assert_allclose(g_packed, g_dense, atol=0.05, rtol=0.05)

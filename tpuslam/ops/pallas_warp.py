@@ -350,7 +350,37 @@ def _scan_window_rows(src_win_ref, coords_ref, H, W, out_h, emit,
     return wx, wy
 
 
-def _select_neighbors(src_win_ref, coords_ref, H, W, out_h, extra_tiles):
+def _row_gather_all_channels_packed(src_win_ref, w, xr, C):
+    """One per-lane gather serving BOTH horizontal bilinear taps.
+
+    Packs row[x] and row[x+1] as the two bfloat16 halves of one uint32 lane
+    (truncation, not round-to-nearest), gathers the packed word at xr, and
+    unpacks — HALF the gather indices of the two-tap path.  Gathers are the
+    warp kernel's dominant cost (relay: per-index; the round-3 raw-tap
+    select showed arithmetic is free next to them), so this is the only
+    remaining 2x on the sweep.  Tap precision drops to bf16 (~3 decimal
+    digits on [0,1] images) — opt-in via `packed=True`; the f32 path stays
+    default/bit-exact.  Returns (v0, v1), each (C, out_h, TILE_W) f32."""
+    out_h = xr.shape[0]
+    rows = src_win_ref[0, :, w, :]  # (C, SWIN_W) f32
+    bits = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+    nxt = jnp.roll(bits, -1, axis=1)  # row[x+1] (wraps at SWIN_W-1; xr is
+    # clipped to SWIN_W-2 so the wrapped lane is never selected)
+    packed = (bits & jnp.uint32(0xFFFF0000)) | (nxt >> 16)
+    idx = jnp.tile(xr, (C, 1))
+    out = None
+    for s in range(0, SWIN_W, TILE_W):
+        seg = jnp.repeat(packed[:, s : s + TILE_W], out_h, axis=0)
+        v = jnp.take_along_axis(seg, jnp.clip(idx - s, 0, TILE_W - 1), axis=1)
+        out = v if out is None else jnp.where(idx >= s, v, out)
+    out = out.reshape(C, out_h, TILE_W)
+    v0 = jax.lax.bitcast_convert_type(out & jnp.uint32(0xFFFF0000), jnp.float32)
+    v1 = jax.lax.bitcast_convert_type(out << 16, jnp.float32)
+    return v0, v1
+
+
+def _select_neighbors(src_win_ref, coords_ref, H, W, out_h, extra_tiles,
+                      packed=False):
     """Dense sweep that SELECTS the four raw bilinear taps, deferring all
     interpolation arithmetic to the (single) caller.
 
@@ -363,14 +393,22 @@ def _select_neighbors(src_win_ref, coords_ref, H, W, out_h, extra_tiles):
     C = src_win_ref.shape[1]
     win_h = out_h + 2 * extra_tiles * TILE_H
     xr, yr, wx, wy = _static_tile_coords(coords_ref, H, W, out_h, extra_tiles)
-    xr1 = jnp.minimum(xr + 1, SWIN_W - 1)
-    b0 = _row_gather_all_channels(src_win_ref, 0, xr, C)
-    b1 = _row_gather_all_channels(src_win_ref, 0, xr1, C)
+
+    if packed:
+        def taps(w):
+            return _row_gather_all_channels_packed(src_win_ref, w, xr, C)
+    else:
+        xr1 = jnp.minimum(xr + 1, SWIN_W - 1)
+
+        def taps(w):
+            return (_row_gather_all_channels(src_win_ref, w, xr, C),
+                    _row_gather_all_channels(src_win_ref, w, xr1, C))
+
+    b0, b1 = taps(0)
     A0 = A1 = B0 = B1 = jnp.zeros((C, out_h, TILE_W), jnp.float32)
     for w in range(win_h - 1):
         a0, a1 = b0, b1
-        b0 = _row_gather_all_channels(src_win_ref, w + 1, xr, C)
-        b1 = _row_gather_all_channels(src_win_ref, w + 1, xr1, C)
+        b0, b1 = taps(w + 1)
         hit = yr == w
         A0 = jnp.where(hit, a0, A0)
         A1 = jnp.where(hit, a1, A1)
@@ -380,7 +418,7 @@ def _select_neighbors(src_win_ref, coords_ref, H, W, out_h, extra_tiles):
 
 
 def _warp_kernel_static(src_win_ref, coords_ref, out_ref, *, H, W, out_h,
-                        extra_tiles, sparse):
+                        extra_tiles, sparse, packed=False):
     C = src_win_ref.shape[1]
     if sparse:
         out_ref[0] = jnp.zeros((C, out_h, TILE_W), jnp.float32)
@@ -394,7 +432,7 @@ def _warp_kernel_static(src_win_ref, coords_ref, out_ref, *, H, W, out_h,
                           extra_tiles, sparse)
         return
     a0, a1, b0, b1, wx, wy = _select_neighbors(
-        src_win_ref, coords_ref, H, W, out_h, extra_tiles
+        src_win_ref, coords_ref, H, W, out_h, extra_tiles, packed
     )
     top = a0 * (1 - wx) + a1 * wx
     bot = b0 * (1 - wx) + b1 * wx
@@ -402,7 +440,7 @@ def _warp_kernel_static(src_win_ref, coords_ref, out_ref, *, H, W, out_h,
 
 
 def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W,
-                        out_h, extra_tiles, sparse):
+                        out_h, extra_tiles, sparse, packed=False):
     x = coords_ref[0, 0]
     y = coords_ref[0, 1]
 
@@ -429,7 +467,7 @@ def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W,
         return
 
     a0, a1, b0, b1, wx, wy = _select_neighbors(
-        src_win_ref, coords_ref, H, W, out_h, extra_tiles
+        src_win_ref, coords_ref, H, W, out_h, extra_tiles, packed
     )
     ddx = (g * ((a1 - a0) * (1 - wy) + (b1 - b0) * wy)).sum(axis=0)
     ddy = (g * ((b0 - a0) * (1 - wx) + (b1 - a1) * wx)).sum(axis=0)
@@ -465,7 +503,8 @@ def _static_specs(B, H, W, C, out_channels, out_h, extra_tiles=1):
     )
 
 
-def _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse):
+def _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse,
+                             packed=False):
     B, H, W, C = src.shape
     assert H % TILE_H == 0 and W % TILE_W == 0, (H, W)
     out_h = _pick_out_h(H)
@@ -473,7 +512,7 @@ def _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse):
     spec = _static_specs(B, H, W, C, C, out_h, extra_tiles)
     out = pl.pallas_call(
         partial(_warp_kernel_static, H=H, W=W, out_h=out_h,
-                extra_tiles=extra_tiles, sparse=sparse),
+                extra_tiles=extra_tiles, sparse=sparse, packed=packed),
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
         interpret=interpret,
         **spec,
@@ -481,28 +520,32 @@ def _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse):
     return out.transpose(0, 2, 3, 1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def pallas_warp_static(src: jax.Array, coords: jax.Array,
                        interpret: bool = False, extra_tiles: int = 1,
-                       sparse: bool = False):
+                       sparse: bool = False, packed: bool = False):
     """Bilinear warp via the STATIC-window Pallas kernel (no in-kernel
     dynamic addressing — compiles on toolchains whose Mosaic rejects dynamic
     `pl.ds`).  Exact for displacements within `extra_tiles` (8, 128) tiles of
     the output block (vertical margin ~8*extra_tiles px, horizontal 128 px);
     beyond that the source clamps to the block's window.  `sparse=True`
     skips window rows no output pixel maps to via pl.when (see
-    _scan_window_rows)."""
-    return _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse)
+    _scan_window_rows).  `packed=True` halves the gather count by packing
+    both horizontal taps as bf16 halves of one u32 lane (bf16 tap
+    precision — see _row_gather_all_channels_packed)."""
+    return _pallas_warp_static_impl(src, coords, interpret, extra_tiles,
+                                    sparse, packed)
 
 
-def _static_fwd(src, coords, interpret, extra_tiles, sparse):
+def _static_fwd(src, coords, interpret, extra_tiles, sparse, packed):
     return (
-        _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse),
+        _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse,
+                                 packed),
         (src, coords),
     )
 
 
-def _static_bwd(interpret, extra_tiles, sparse, residuals, g):
+def _static_bwd(interpret, extra_tiles, sparse, packed, residuals, g):
     src, coords = residuals
     B, H, W, C = src.shape
     out_h = _pick_out_h(H)
@@ -513,7 +556,7 @@ def _static_bwd(interpret, extra_tiles, sparse, residuals, g):
     )
     dcoords = pl.pallas_call(
         partial(_grad_kernel_static, H=H, W=W, out_h=out_h,
-                extra_tiles=extra_tiles, sparse=sparse),
+                extra_tiles=extra_tiles, sparse=sparse, packed=packed),
         out_shape=jax.ShapeDtypeStruct((B, 2, H, W), jnp.float32),
         interpret=interpret,
         **spec,

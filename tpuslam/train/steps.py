@@ -80,6 +80,11 @@ class LossConfig(NamedTuple):
     # (pl.when), making the taller window nearly free for small flows.
     pallas_extra_tiles: int = 1
     pallas_sparse: bool = False
+    # `pallas_packed` halves the warp's per-lane gather count by packing
+    # both horizontal bilinear taps as bf16 halves of one u32 lane (bf16
+    # tap precision; opt-in until a quality A/B on the target silicon —
+    # see ops/pallas_warp.py::_row_gather_all_channels_packed).
+    pallas_packed: bool = False
     # Anti-collapse log-mean-disparity prior (losses/photometric.py) for
     # low-parallax pretraining; 0 disables.  The Pretrainer activates it for
     # the first `scale_prior_epochs` epochs only.  The target is a metric
@@ -212,7 +217,7 @@ def warp_and_loss(
         # interpret mode off TPU (pallas compiles natively only there)
         warped = pallas_warp_static(
             src, coords, jax.default_backend() != "tpu",
-            cfg.pallas_extra_tiles, cfg.pallas_sparse,
+            cfg.pallas_extra_tiles, cfg.pallas_sparse, cfg.pallas_packed,
         )
     else:
         warped = bilinear_sampler(src, coords)
