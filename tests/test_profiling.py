@@ -37,6 +37,18 @@ def test_profile_adapt_step_tiny():
     assert np.isfinite(out["ms_frame_K5"]) and out["fps_K5"] > 0
 
 
+@pytest.mark.slow
+def test_profile_sync_latency_tiny():
+    from tpuslam.utils.profiling import profile_sync_latency
+
+    out = profile_sync_latency(height=32, width=64, batch_size=2,
+                               num_steps=1, frames=3)
+    assert out["ms_chained"] > 0 and out["ms_per_frame_sync"] > 0
+    assert out["fps_chained"] > 0 and out["fps_synced"] > 0
+    # on CPU the sync is nearly free; the probe just has to be finite
+    assert np.isfinite(out["ms_sync_rtt"])
+
+
 def test_profile_host_pipeline_tiny():
     from tpuslam.utils.profiling import profile_host_pipeline
 

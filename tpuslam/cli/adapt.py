@@ -25,10 +25,16 @@ def main(argv=None) -> int:
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--no-progress", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--pipeline-depth", type=int, default=None,
+                    help="override slam.pipeline_depth: defer per-frame host "
+                         "readbacks N frames so sync latency overlaps device "
+                         "compute (0 = reference per-frame sync)")
     args = ap.parse_args(argv)
 
     np.random.seed(args.seed)
     config = parse_config(args.config)
+    if args.pipeline_depth is not None:
+        config.slam.pipeline_depth = args.pipeline_depth
     slam = Slam(config)
     print(f"tpuslam adapt: {len(slam)} frames, log -> {slam.log_path}")
     slam.run(max_steps=args.max_steps, progress=not args.no_progress)

@@ -129,6 +129,16 @@ class SlamConfig:
     # pose for frame t comes from the newest COMPLETED adapted parameters
     # instead of blocking on frame t's update
     async_adaptation: bool = False
+    # Readback pipelining: defer all per-frame host readbacks (pose,
+    # embedding, losses) up to N frames so the host->device sync latency
+    # overlaps the next frames' device compute.  0 (default) = read back
+    # every frame like the reference.  N>0 trades exactness of the host
+    # state for throughput: replay-buffer admissions, pose-graph edges and
+    # loop-closure searches for frame t happen while frame t+1..t+N
+    # dispatch, so replay draws and LC candidate sets lag <=N frames (the
+    # adapted WEIGHTS do not lag — the device chain is unaffected).  See
+    # Slam._retire.
+    pipeline_depth: int = 0
     config_file: Optional[Path] = None
 
 

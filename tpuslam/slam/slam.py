@@ -173,6 +173,13 @@ class Slam:
         else:
             self.generalist_state = None
         self.async_adaptation = sc.async_adaptation
+        # Readback pipelining (schema.py SlamConfig.pipeline_depth): frames
+        # whose host-side bookkeeping has not run yet wait here as (sample,
+        # device-array) entries; _retire() drains them in order
+        self.pipeline_depth = getattr(sc, "pipeline_depth", 0)
+        from collections import deque
+
+        self._retire_queue: "deque" = deque()
         # CoVIO async bookkeeping: the update in flight (None = none) and
         # counters proving updates lag/skip rather than gate the frame rate
         self._pending_state = None
@@ -336,28 +343,50 @@ class Slam:
         """One SLAM frame.  `sample` may be supplied by a prefetcher (see
         `run`) so host-side decode/render overlaps the previous frame's
         device work — the reference gets this from DataLoader workers
-        (slam/slam.py:75-82)."""
+        (slam/slam.py:75-82).
+
+        With `pipeline_depth` N > 0 the per-frame host readbacks are
+        deferred: this call dispatches frame t's device work, then retires
+        frame t-N's bookkeeping (buffer add, pose-graph edge, LC search,
+        metrics), so the device never idles on a host sync.  The returned
+        losses are then frame t-N's (zeros until the pipe fills); callers
+        see the same totals once the queue is flushed (`flush_pipeline`)."""
         self.current_step += 1
         t_start = time.perf_counter()
         if sample is None:
             sample = self.dataset[self.current_step - 1]
+        entry = self._dispatch(sample)
+        if self.pipeline_depth > 0:
+            self._start_host_copies(entry)
+        self._retire_queue.append(entry)
+        out = {"depth_loss": 0.0, "velocity_loss": 0.0}
+        while len(self._retire_queue) > self.pipeline_depth:
+            out = self._retire(self._retire_queue.popleft())
+        if entry["kind"] == "full":
+            self.step_times.append(time.perf_counter() - t_start)
+        return out
+
+    def _dispatch(self, sample: Sample) -> Dict:
+        """Device-dispatch phase of one frame: everything that must run
+        BEFORE frame t+1 can start, with no host readback.  Returns a retire
+        entry holding the device arrays."""
+        step_id = self.current_step
         online = self._sample_to_batch(sample)
 
         # skip-frame rule: signed relative distance below threshold
-        if self.current_step > 1 and float(sample.rel_dist[1]) < self.min_distance:
+        if step_id > 1 and float(sample.rel_dist[1]) < self.min_distance:
             # the reference admits EVERY frame to the replay buffer, including
             # min-distance-skipped ones, with the pre-adaptation embedding
             # (slam/slam.py:143-153 runs before the skip check at :165-168);
             # skipped frames pay the one extra encoder forward it costs
+            embedding = None
             if self.replay_buffer is not None:
-                embedding = np.asarray(
-                    _embed_frame(
-                        self.model, self.state.params, self.state.batch_stats,
-                        jnp.asarray(sample.rgb[1][None]),
-                    )
-                )[0]
-                self.replay_buffer.add(sample, embedding)
-            return {"depth_loss": 0.0, "velocity_loss": 0.0}
+                embedding = _embed_frame(
+                    self.model, self.state.params, self.state.batch_stats,
+                    jnp.asarray(sample.rgb[1][None]),
+                )
+            return {"kind": "skip", "step_id": step_id, "sample": sample,
+                    "embedding": embedding}
 
         # --- the fused dispatch -----------------------------------------
         if self.do_adaptation and self.async_adaptation:
@@ -411,7 +440,7 @@ class Slam:
             self.use_expert
             and self.replay_buffer is not None
             and len(self.replay_buffer) > 0
-            and self.current_step % self.generalist_interval == 0
+            and step_id % self.generalist_interval == 0
         ):
             draws = self.replay_buffer.get(current_index=None)
             if draws:
@@ -426,6 +455,58 @@ class Slam:
                     self.model, self.tx, self.loss_cfg, self.generalist_state,
                     replay, num_steps=self.generalist_steps,
                 )
+
+        return {"kind": "full", "step_id": step_id, "sample": sample,
+                "losses": losses, "outputs": outputs}
+
+    def _start_host_copies(self, entry: Dict) -> None:
+        """Initiate async device->host copies of every array _retire will
+        read, right after dispatch.  Deferring the readback alone does not
+        hide a LATENCY-bound sync (the transfer would only start when
+        _retire blocks); starting the copy here lets it ride alongside the
+        next `pipeline_depth` frames' device work, so the retire-side
+        np.asarray finds the bytes already on host.  Backends without
+        copy_to_host_async fall back to blocking at retire."""
+        if entry["kind"] == "skip":
+            arrs = [entry["embedding"]]
+        else:
+            losses, outputs = entry["losses"], entry["outputs"]
+            arrs = [
+                outputs[("embedding",)],
+                outputs[("cam_T_cam", 0, 1)],
+                losses.get("depth_loss"),
+                losses.get("velocity_loss"),
+                losses.get("loss"),
+                outputs.get(("lc_embedding",)),
+            ]
+            if self.logging and entry["sample"].depth is not None:
+                arrs.append(outputs.get(("depth", 0)))
+        for a in arrs:
+            start = getattr(a, "copy_to_host_async", None)
+            if start is not None:
+                try:
+                    start()
+                except Exception:
+                    pass  # transfer falls back to blocking at retire
+
+    def _retire(self, entry: Dict) -> Dict[str, float]:
+        """Host bookkeeping phase of one frame: the readbacks (pose,
+        embedding, losses) and everything they drive — replay-buffer
+        admission, pose-graph vertex/edge, loop-closure search + PGO,
+        metrics.  Runs in frame order; with pipelining it executes while
+        later frames' device work is in flight, so the pose graph / buffer
+        / LC index lag the dispatch frontier by <= pipeline_depth frames
+        (LC pose predictions then use the NEWEST adapted weights rather
+        than frame t's — documented divergence, PARITY.md)."""
+        sample: Sample = entry["sample"]
+        step_id: int = entry["step_id"]
+        if entry["kind"] == "skip":
+            if self.replay_buffer is not None and entry["embedding"] is not None:
+                self.replay_buffer.add(
+                    sample, np.asarray(entry["embedding"])[0]
+                )
+            return {"depth_loss": 0.0, "velocity_loss": 0.0}
+        losses, outputs = entry["losses"], entry["outputs"]
 
         embedding = np.asarray(outputs[("embedding",)])[0]
         if self.replay_buffer is not None:
@@ -444,43 +525,43 @@ class Slam:
         }
         if not np.isfinite(losses_out["loss"]):
             # hard failure like the reference (depth_pose_prediction.py:1115-1118)
-            raise RuntimeError(f"NaN loss at step {self.current_step}: {losses_out}")
+            raise RuntimeError(f"NaN loss at step {step_id}: {losses_out}")
 
         # --- ground-truth graph ----------------------------------------
         gt_transformation = np.asarray(sample.rel_pose, np.float64)
         gt_pose = np.asarray(sample.abs_pose, np.float64)
-        self.gt_pose_graph.add_vertex(self.current_step, gt_pose)
+        self.gt_pose_graph.add_vertex(step_id, gt_pose)
         self.gt_pose_graph.add_edge(
-            (self.gt_pose_graph.vertex_ids[-2], self.current_step), gt_transformation
+            (self.gt_pose_graph.vertex_ids[-2], step_id), gt_transformation
         )
 
         # --- predicted pose graph --------------------------------------
-        if self.current_step == self.start_frame:
-            self.pose_graph.add_vertex(self.current_step, gt_pose, fixed=True)
-        elif self.current_step > self.start_frame:
+        if step_id == self.start_frame:
+            self.pose_graph.add_vertex(step_id, gt_pose, fixed=True)
+        elif step_id > self.start_frame:
             prev_id = self.pose_graph.vertex_ids[-1]
             odom_pose = self.pose_graph.get_pose(prev_id) @ transformation
-            self.pose_graph.add_vertex(self.current_step, odom_pose)
+            self.pose_graph.add_vertex(step_id, odom_pose)
             cov = np.eye(6)
             cov[2, 2] = cov[5, 5] = 0.1
             self.pose_graph.add_edge(
-                (prev_id, self.current_step),
+                (prev_id, step_id),
                 transformation,
                 information=np.linalg.inv(cov),
             )
 
         # --- loop closures ----------------------------------------------
         optimized = False
-        if self.do_loop_closures and self.current_step >= self.start_frame:
+        if self.do_loop_closures and step_id >= self.start_frame:
             self.loop_closure_detection.add(
-                self.current_step, self._lc_embedding(sample, outputs)
+                step_id, self._lc_embedding(sample, outputs)
             )
             if (
-                self.current_step % self.keyframe_frequency == 0
-                and self.current_step < LC_MAX_STEP
+                step_id % self.keyframe_frequency == 0
+                and step_id < LC_MAX_STEP
                 and self.since_last_loop_closures > self.lc_distance_poses
             ):
-                lc_ids, sims = self.loop_closure_detection.search(self.current_step)
+                lc_ids, sims = self.loop_closure_detection.search(step_id)
                 for lc_id, sim in zip(lc_ids, sims):
                     lc_image = self._lc_image(lc_id)
                     if lc_image is None:
@@ -496,7 +577,7 @@ class Slam:
                     cov = np.eye(6)
                     cov[2, 2] = cov[5, 5] = 0.1
                     self.pose_graph.add_edge(
-                        (self.current_step, lc_id),
+                        (step_id, lc_id),
                         lc_transformation,
                         information=0.5 * np.linalg.inv(cov),
                         is_loop_closure=True,
@@ -507,14 +588,14 @@ class Slam:
                     # failure mode on untrained nets, BASELINE.md round 3)
                     pred_t = float(np.linalg.norm(lc_transformation[:3, 3]))
                     diag = {
-                        "step": self.current_step,
+                        "step": step_id,
                         "lc_id": int(lc_id),
                         "sim": float(sim),
                         "pred_dist": pred_t,
                     }
                     try:
                         gt_rel = np.linalg.inv(
-                            self.gt_pose_graph.get_pose(self.current_step)
+                            self.gt_pose_graph.get_pose(step_id)
                         ) @ self.gt_pose_graph.get_pose(int(lc_id))
                         diag["gt_dist"] = float(np.linalg.norm(gt_rel[:3, 3]))
                         diag["trans_err"] = float(
@@ -527,7 +608,7 @@ class Slam:
                     self.lc_edge_diagnostics.append(diag)
                     if self.logging:
                         print(
-                            f"loop closure {self.current_step} -> {lc_id} "
+                            f"loop closure {step_id} -> {lc_id} "
                             f"[sim={sim:.3f}, pred_dist={pred_t:.1f}m"
                             + (
                                 f", gt_dist={diag['gt_dist']:.1f}m"
@@ -569,18 +650,17 @@ class Slam:
         if (
             self.logging
             and self.plot_frequency > 0
-            and self.current_step % self.plot_frequency == 0
+            and step_id % self.plot_frequency == 0
         ):
             try:
-                self.plot_trajectory()
-                self.plot_metrics()
+                self.plot_trajectory(self.log_path / f"trajectory_{step_id}.png")
+                self.plot_metrics(self.log_path / f"metrics_{step_id}.png")
                 self.pose_graph.visualize_in_meshlab(
-                    self.log_path / f"pose_graph_{self.current_step}.obj",
+                    self.log_path / f"pose_graph_{step_id}.obj",
                     verbose=False,
                 )
             except Exception as e:  # plotting must never kill the run
                 print(f"periodic plotting skipped: {e}")
-        self.step_times.append(time.perf_counter() - t_start)
         return losses_out
 
     def reset_expert_from_generalist(self) -> None:
@@ -650,8 +730,17 @@ class Slam:
         self.finish_async()
         return self
 
+    def flush_pipeline(self) -> None:
+        """Retire every queued frame (no-op when pipeline_depth == 0 —
+        step() drains the queue itself).  After this, the pose graph,
+        replay buffer, LC index and metric lists cover every dispatched
+        frame."""
+        while self._retire_queue:
+            self._retire(self._retire_queue.popleft())
+
     def finish_async(self) -> None:
         """Adopt the in-flight CoVIO update, blocking until it completes."""
+        self.flush_pipeline()
         if self._pending_state is not None:
             np.asarray(jax.tree_util.tree_leaves(self._pending_state.params)[0])
             self.state = self._pending_state
@@ -660,10 +749,12 @@ class Slam:
 
     # ------------------------------------------------------------------
     def trajectory(self, graph: Optional[PoseGraph] = None) -> np.ndarray:
+        self.flush_pipeline()
         g = graph if graph is not None else self.pose_graph
         return np.stack([p[:3, 3] for p in g.get_all_poses()])
 
     def save_metrics(self) -> Path:
+        self.flush_pipeline()
         data = {
             "rel_trans_error": self.rel_trans_error,
             "rel_rot_error": self.rel_rot_error,
@@ -711,6 +802,7 @@ class Slam:
     def final_report(self) -> str:
         from tpuslam.eval.trajectory import calc_error
 
+        self.flush_pipeline()
         pred = self.pose_graph.get_all_poses()
         gt = self.gt_pose_graph.get_all_poses()
         n = min(len(pred), len(gt))

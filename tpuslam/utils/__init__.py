@@ -3,6 +3,7 @@ from tpuslam.utils.profiling import (
     StepTimer,
     profile_adapt_step,
     profile_host_pipeline,
+    profile_sync_latency,
     trace,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "StepTimer",
     "profile_adapt_step",
     "profile_host_pipeline",
+    "profile_sync_latency",
     "trace",
 ]

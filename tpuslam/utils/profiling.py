@@ -148,6 +148,102 @@ def profile_host_pipeline(
     }
 
 
+def profile_sync_latency(
+    height: int = 96,
+    width: int = 320,
+    batch_size: int = 3,
+    num_steps: int = 2,
+    frames: int = 8,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Pin the per-frame HOST SYNC cost of the SLAM loop on this attachment.
+
+    `Slam.step` must read back the pose, LC embedding and loss scalars every
+    frame to drive the host-side pose graph / replay buffer (reference
+    slam/slam.py:96-180 semantics).  On a local chip that readback is
+    sub-ms; on the dev relay it pays a tunnel round trip that dominates
+    end-to-end fps (BASELINE.md round 3: all e2e numbers cluster 2-4 fps
+    while pipelined bench scales with shape).  This probe measures the SAME
+    fused adapt_step both ways:
+
+    - chained:   `frames` dispatches back-to-back, ONE readback at the end
+      (what bench.py measures — pure device throughput)
+    - per-frame: after every dispatch, read back exactly what Slam.step
+      reads (cam_T_cam + embedding + loss scalar)
+
+    Returns per-frame ms for both and their difference = the sync RTT.
+    """
+    import jax
+    import numpy as np
+
+    from tpuslam.models import init_depth_pose
+    from tpuslam.train import (
+        LossConfig,
+        adapt_step,
+        concat_batches,
+        make_adapt_optimizer,
+        make_frame_batch,
+        make_train_state,
+    )
+
+    rng = np.random.default_rng(seed)
+    model, variables = init_depth_pose(
+        jax.random.PRNGKey(seed), height=height, width=width
+    )
+    K = np.array(
+        [[0.58 * width, 0, 0.5 * width, 0], [0, 1.92 * height, 0.5 * height, 0],
+         [0, 0, 1, 0], [0, 0, 0, 1]], np.float32,
+    )
+
+    def batch(n):
+        return make_frame_batch(
+            rng.uniform(size=(n, 3, height, width, 3)).astype(np.float32),
+            K,
+            rng.uniform(0.5, 2.0, size=(n, 2)).astype(np.float32),
+        )
+
+    training = concat_batches(batch(1), batch(batch_size - 1)) \
+        if batch_size > 1 else batch(1)
+    cfg = LossConfig()
+    tx = make_adapt_optimizer(variables["params"], 1e-4)
+    state = make_train_state(variables["params"], variables["batch_stats"], tx)
+
+    def readback(losses, outputs):
+        np.asarray(outputs[("cam_T_cam", 0, 1)][0])
+        np.asarray(outputs[("embedding",)])[0]
+        float(losses["loss"])
+
+    for _ in range(2):  # compile + warm
+        state, losses, outputs = adapt_step(
+            model, tx, cfg, state, None, training, num_steps=num_steps
+        )
+    readback(losses, outputs)
+
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        state, losses, outputs = adapt_step(
+            model, tx, cfg, state, None, training, num_steps=num_steps
+        )
+    readback(losses, outputs)
+    ms_chained = (time.perf_counter() - t0) / frames * 1e3
+
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        state, losses, outputs = adapt_step(
+            model, tx, cfg, state, None, training, num_steps=num_steps
+        )
+        readback(losses, outputs)
+    ms_synced = (time.perf_counter() - t0) / frames * 1e3
+
+    return {
+        "ms_chained": round(ms_chained, 2),
+        "ms_per_frame_sync": round(ms_synced, 2),
+        "ms_sync_rtt": round(ms_synced - ms_chained, 2),
+        "fps_chained": round(1e3 / ms_chained, 2),
+        "fps_synced": round(1e3 / ms_synced, 2),
+    }
+
+
 def profile_adapt_step(
     height: int = 192,
     width: int = 640,
