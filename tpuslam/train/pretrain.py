@@ -185,8 +185,13 @@ class Pretrainer:
             step_losses, _ = eval_step(
                 self.model, self.cfg, self.state.params, self.state.batch_stats, batch
             )
-            losses.append(float(step_losses["loss"]))
-        return float(np.mean(losses)) if losses else float("nan")
+            # keep the device scalar — one stacked transfer at the end
+            # instead of a per-batch sync (the full val split pays a host
+            # round trip per batch otherwise)
+            losses.append(step_losses["loss"])
+        if not losses:
+            return float("nan")
+        return float(np.mean(np.asarray(jax.numpy.stack(losses))))
 
     def compute_depth_error(self, dataset, max_samples: int = 50) -> Dict[str, float]:
         """Median-scaled depth metrics over GT-depth samples."""
