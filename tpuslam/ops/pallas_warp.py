@@ -362,21 +362,81 @@ def _row_gather_all_channels_packed(src_win_ref, w, xr, C):
     digits on [0,1] images) — opt-in via `packed=True`; the f32 path stays
     default/bit-exact.  Returns (v0, v1), each (C, out_h, TILE_W) f32."""
     out_h = xr.shape[0]
-    rows = src_win_ref[0, :, w, :]  # (C, SWIN_W) f32
-    bits = jax.lax.bitcast_convert_type(rows, jnp.uint32)
-    nxt = jnp.roll(bits, -1, axis=1)  # row[x+1] (wraps at SWIN_W-1; xr is
-    # clipped to SWIN_W-2 so the wrapped lane is never selected)
-    packed = (bits & jnp.uint32(0xFFFF0000)) | (nxt >> 16)
+    packed = _pack_row_bf16(src_win_ref, w)
     idx = jnp.tile(xr, (C, 1))
     out = None
     for s in range(0, SWIN_W, TILE_W):
         seg = jnp.repeat(packed[:, s : s + TILE_W], out_h, axis=0)
         v = jnp.take_along_axis(seg, jnp.clip(idx - s, 0, TILE_W - 1), axis=1)
         out = v if out is None else jnp.where(idx >= s, v, out)
-    out = out.reshape(C, out_h, TILE_W)
-    v0 = jax.lax.bitcast_convert_type(out & jnp.uint32(0xFFFF0000), jnp.float32)
-    v1 = jax.lax.bitcast_convert_type(out << 16, jnp.float32)
+    return _unpack_taps(out.reshape(C, out_h, TILE_W))
+
+
+def _pack_row_bf16(src_win_ref, w):
+    """(C, SWIN_W) u32 lanes holding (row[x] | row[x+1]) as bf16 halves.
+
+    Truncation, not round-to-nearest.  The roll wraps at SWIN_W-1, but xr
+    is clipped to SWIN_W-2 so the wrapped lane is never selected."""
+    rows = src_win_ref[0, :, w, :]  # (C, SWIN_W) f32
+    bits = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+    nxt = jnp.roll(bits, -1, axis=1)
+    return (bits & jnp.uint32(0xFFFF0000)) | (nxt >> 16)
+
+
+def _unpack_taps(words):
+    """u32 packed words -> (left tap, right tap) f32 blocks."""
+    v0 = jax.lax.bitcast_convert_type(
+        words & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    v1 = jax.lax.bitcast_convert_type(words << 16, jnp.float32)
     return v0, v1
+
+
+def _gather_packed_segment(packed, idx, s, out_h, C):
+    """Gather ONE 128-lane segment of pre-packed rows — no cross-segment
+    merge.  Lanes whose idx falls outside [s, s+128) return clamped garbage;
+    the caller masks them with its segment-hit predicate."""
+    seg = jnp.repeat(packed[:, s : s + TILE_W], out_h, axis=0)
+    v = jnp.take_along_axis(seg, jnp.clip(idx - s, 0, TILE_W - 1), axis=1)
+    return _unpack_taps(v.reshape(C, out_h, TILE_W))
+
+
+def _segskip_sweep(src_win_ref, coords_ref, H, W, out_h, extra_tiles, emit):
+    """Segment-predicated sweep: ONE pl.when per 128-lane window segment
+    (3 total), each guarding the whole packed row sweep restricted to that
+    segment.  A typical SLAM tile's horizontal footprint lives in a single
+    segment, so 2 of the 3 sweeps skip — 1/3 the gathers of the dense
+    packed path, 1/6 of the dense f32 path.  This amortises predication far
+    better than the per-row pl.when (24 predicates; measured net NEGATIVE
+    on the relay, BASELINE.md) — 3 predicates each saving ~win_h gathers.
+    Taps are bf16 like the packed path.  Calls
+    `emit(in_seg, A0, A1, B0, B1, wx, wy)` once per EXECUTED segment with
+    that segment's selected raw taps; emit must write refs (values cannot
+    escape a pl.when body) and mask with in_seg."""
+    C = src_win_ref.shape[1]
+    win_h = out_h + 2 * extra_tiles * TILE_H
+    xr, yr, wx, wy = _static_tile_coords(coords_ref, H, W, out_h, extra_tiles)
+    idx = jnp.tile(xr, (C, 1))
+    for s in range(0, SWIN_W, TILE_W):
+        in_seg = (xr >= s) & (xr < s + TILE_W)
+
+        @pl.when(jnp.any(in_seg))
+        def _(s=s, in_seg=in_seg):
+            b0, b1 = _gather_packed_segment(
+                _pack_row_bf16(src_win_ref, 0), idx, s, out_h, C
+            )
+            A0 = A1 = B0 = B1 = jnp.zeros((C, out_h, TILE_W), jnp.float32)
+            for w in range(win_h - 1):
+                a0, a1 = b0, b1
+                b0, b1 = _gather_packed_segment(
+                    _pack_row_bf16(src_win_ref, w + 1), idx, s, out_h, C
+                )
+                hit = yr == w
+                A0 = jnp.where(hit, a0, A0)
+                A1 = jnp.where(hit, a1, A1)
+                B0 = jnp.where(hit, b0, B0)
+                B1 = jnp.where(hit, b1, B1)
+            emit(in_seg, A0, A1, B0, B1, wx, wy)
 
 
 def _select_neighbors(src_win_ref, coords_ref, H, W, out_h, extra_tiles,
@@ -415,6 +475,44 @@ def _select_neighbors(src_win_ref, coords_ref, H, W, out_h, extra_tiles,
         B0 = jnp.where(hit, b0, B0)
         B1 = jnp.where(hit, b1, B1)
     return A0, A1, B0, B1, wx, wy
+
+
+def _warp_kernel_static_segskip(src_win_ref, coords_ref, out_ref, *, H, W,
+                                out_h, extra_tiles):
+    C = src_win_ref.shape[1]
+    out_ref[0] = jnp.zeros((C, out_h, TILE_W), jnp.float32)
+
+    def emit(in_seg, a0, a1, b0, b1, wx, wy):
+        top = a0 * (1 - wx) + a1 * wx
+        bot = b0 * (1 - wx) + b1 * wx
+        out_ref[0] = jnp.where(in_seg, top * (1 - wy) + bot * wy, out_ref[0])
+
+    _segskip_sweep(src_win_ref, coords_ref, H, W, out_h, extra_tiles, emit)
+
+
+def _grad_kernel_static_segskip(src_win_ref, coords_ref, g_ref, dcoords_ref,
+                                *, H, W, out_h, extra_tiles):
+    x = coords_ref[0, 0]
+    y = coords_ref[0, 1]
+    g = g_ref[0]
+    dcoords_ref[0, 0] = jnp.zeros_like(x)
+    dcoords_ref[0, 1] = jnp.zeros_like(y)
+
+    def emit(in_seg, a0, a1, b0, b1, wx, wy):
+        ddx = (g * ((a1 - a0) * (1 - wy) + (b1 - b0) * wy)).sum(axis=0)
+        ddy = (g * ((b0 - a0) * (1 - wx) + (b1 - a1) * wx)).sum(axis=0)
+        dcoords_ref[0, 0] = jnp.where(in_seg, ddx, dcoords_ref[0, 0])
+        dcoords_ref[0, 1] = jnp.where(in_seg, ddy, dcoords_ref[0, 1])
+
+    _segskip_sweep(src_win_ref, coords_ref, H, W, out_h, extra_tiles, emit)
+
+    def live(v, hi):
+        inside = ((v > 0.0) & (v < hi)).astype(jnp.float32)
+        tie = ((v == 0.0) | (v == hi)).astype(jnp.float32)
+        return inside + 0.5 * tie
+
+    dcoords_ref[0, 0] = dcoords_ref[0, 0] * live(x, W - 1)
+    dcoords_ref[0, 1] = dcoords_ref[0, 1] * live(y, H - 1)
 
 
 def _warp_kernel_static(src_win_ref, coords_ref, out_ref, *, H, W, out_h,
@@ -504,15 +602,20 @@ def _static_specs(B, H, W, C, out_channels, out_h, extra_tiles=1):
 
 
 def _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse,
-                             packed=False):
+                             packed=False, seg_skip=False):
     B, H, W, C = src.shape
     assert H % TILE_H == 0 and W % TILE_W == 0, (H, W)
     out_h = _pick_out_h(H)
     assert H >= out_h + 2 * extra_tiles * TILE_H and W >= SWIN_W, (H, W)
     spec = _static_specs(B, H, W, C, C, out_h, extra_tiles)
+    if seg_skip:
+        kernel = partial(_warp_kernel_static_segskip, H=H, W=W, out_h=out_h,
+                         extra_tiles=extra_tiles)
+    else:
+        kernel = partial(_warp_kernel_static, H=H, W=W, out_h=out_h,
+                         extra_tiles=extra_tiles, sparse=sparse, packed=packed)
     out = pl.pallas_call(
-        partial(_warp_kernel_static, H=H, W=W, out_h=out_h,
-                extra_tiles=extra_tiles, sparse=sparse, packed=packed),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
         interpret=interpret,
         **spec,
@@ -520,10 +623,11 @@ def _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse,
     return out.transpose(0, 2, 3, 1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def pallas_warp_static(src: jax.Array, coords: jax.Array,
                        interpret: bool = False, extra_tiles: int = 1,
-                       sparse: bool = False, packed: bool = False):
+                       sparse: bool = False, packed: bool = False,
+                       seg_skip: bool = False):
     """Bilinear warp via the STATIC-window Pallas kernel (no in-kernel
     dynamic addressing — compiles on toolchains whose Mosaic rejects dynamic
     `pl.ds`).  Exact for displacements within `extra_tiles` (8, 128) tiles of
@@ -532,20 +636,26 @@ def pallas_warp_static(src: jax.Array, coords: jax.Array,
     skips window rows no output pixel maps to via pl.when (see
     _scan_window_rows).  `packed=True` halves the gather count by packing
     both horizontal taps as bf16 halves of one u32 lane (bf16 tap
-    precision — see _row_gather_all_channels_packed)."""
+    precision — see _row_gather_all_channels_packed).  `seg_skip=True`
+    additionally predicates the sweep per 128-lane window segment (3
+    pl.whens), skipping segments the tile's horizontal footprint misses —
+    typically 2 of 3 (see _segskip_sweep); implies packed taps, overrides
+    sparse."""
     return _pallas_warp_static_impl(src, coords, interpret, extra_tiles,
-                                    sparse, packed)
+                                    sparse, packed, seg_skip)
 
 
-def _static_fwd(src, coords, interpret, extra_tiles, sparse, packed):
+def _static_fwd(src, coords, interpret, extra_tiles, sparse, packed,
+                seg_skip):
     return (
         _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse,
-                                 packed),
+                                 packed, seg_skip),
         (src, coords),
     )
 
 
-def _static_bwd(interpret, extra_tiles, sparse, packed, residuals, g):
+def _static_bwd(interpret, extra_tiles, sparse, packed, seg_skip, residuals,
+                g):
     src, coords = residuals
     B, H, W, C = src.shape
     out_h = _pick_out_h(H)
@@ -554,9 +664,15 @@ def _static_bwd(interpret, extra_tiles, sparse, packed, residuals, g):
         pl.BlockSpec((1, C, out_h, TILE_W), lambda b, i, j: (b, 0, i, j),
                      memory_space=pltpu.VMEM)
     )
+    if seg_skip:
+        grad_kernel = partial(_grad_kernel_static_segskip, H=H, W=W,
+                              out_h=out_h, extra_tiles=extra_tiles)
+    else:
+        grad_kernel = partial(_grad_kernel_static, H=H, W=W, out_h=out_h,
+                              extra_tiles=extra_tiles, sparse=sparse,
+                              packed=packed)
     dcoords = pl.pallas_call(
-        partial(_grad_kernel_static, H=H, W=W, out_h=out_h,
-                extra_tiles=extra_tiles, sparse=sparse, packed=packed),
+        grad_kernel,
         out_shape=jax.ShapeDtypeStruct((B, 2, H, W), jnp.float32),
         interpret=interpret,
         **spec,

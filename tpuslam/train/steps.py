@@ -85,6 +85,11 @@ class LossConfig(NamedTuple):
     # tap precision; opt-in until a quality A/B on the target silicon —
     # see ops/pallas_warp.py::_row_gather_all_channels_packed).
     pallas_packed: bool = False
+    # `pallas_seg_skip` predicates the sweep per 128-lane window segment
+    # (3 pl.whens; a typical tile's horizontal footprint hits 1 of 3) on
+    # top of packed taps — 1/6 the gathers of the dense f32 sweep.  bf16
+    # tap precision like pallas_packed; opt-in pending relay measurement.
+    pallas_seg_skip: bool = False
     # Anti-collapse log-mean-disparity prior (losses/photometric.py) for
     # low-parallax pretraining; 0 disables.  The Pretrainer activates it for
     # the first `scale_prior_epochs` epochs only.  The target is a metric
@@ -218,6 +223,7 @@ def warp_and_loss(
         warped = pallas_warp_static(
             src, coords, jax.default_backend() != "tpu",
             cfg.pallas_extra_tiles, cfg.pallas_sparse, cfg.pallas_packed,
+            cfg.pallas_seg_skip,
         )
     else:
         warped = bilinear_sampler(src, coords)
