@@ -97,6 +97,12 @@ def main(argv=None) -> int:
         "--dtype", default=None, choices=["float32", "bfloat16"],
         help="conv compute dtype override (quality/speed A/B; params stay f32)",
     )
+    ap.add_argument(
+        "--warp", default=None, choices=["dense", "packed", "seg_skip"],
+        help="pallas warp gather variant override (quality/speed A/B): "
+             "dense f32 taps (default), bf16 packed dual-taps, or packed + "
+             "per-segment sweep predication",
+    )
     args = ap.parse_args(argv)
     which = {int(r) for r in args.rungs.split(",")}
 
@@ -106,10 +112,16 @@ def main(argv=None) -> int:
             dataset="Synthetic", height=args.height, width=args.width,
             num_frames=args.frames, trajectory="loop",
         )
+        warp_kwargs = {}
+        if args.warp == "packed":
+            warp_kwargs["pallas_packed"] = True
+        elif args.warp == "seg_skip":
+            warp_kwargs["pallas_seg_skip"] = True
         cfg.depth_pose = DepthPoseConfig(
             batch_size=batch_size, scales=(0, 1, 2, 3), max_depth=80.0,
             log_path=args.log / tag, load_weights_folder=args.weights,
             **({"dtype": args.dtype} if args.dtype else {}),
+            **warp_kwargs,
         )
         defaults = dict(
             adaptation=True, adaptation_epochs=3, min_distance=0.0,

@@ -76,6 +76,13 @@ class DepthPoseConfig:
     # tpuslam/ops/pallas_warp.py).  Falls back to the XLA sampler off-TPU
     # or at incompatible resolutions.
     pallas_warp: bool = True
+    # Warp-kernel gather variants (ops/pallas_warp.py; opt-in pending
+    # on-silicon A/B): `pallas_packed` rides both horizontal taps in one
+    # u32 lane (bf16 tap precision, half the gathers); `pallas_seg_skip`
+    # additionally predicates the sweep per 128-lane window segment
+    # (~1/6 the gathers of the dense f32 sweep, implies packed taps).
+    pallas_packed: bool = False
+    pallas_seg_skip: bool = False
     config_file: Optional[Path] = None
 
 

@@ -83,6 +83,8 @@ class DepthPosePrediction:
             disparity_smoothness=config.disparity_smoothness,
             velocity_loss_scaling=config.velocity_loss_scaling,
             use_pallas_warp=getattr(config, "pallas_warp", False),
+            pallas_packed=getattr(config, "pallas_packed", False),
+            pallas_seg_skip=getattr(config, "pallas_seg_skip", False),
         )
         self.tx = make_adapt_optimizer(variables["params"], config.learning_rate)
         self.state = make_train_state(

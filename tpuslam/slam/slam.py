@@ -201,6 +201,8 @@ class Slam:
             disparity_smoothness=pc.disparity_smoothness,
             velocity_loss_scaling=pc.velocity_loss_scaling,
             use_pallas_warp=pc.pallas_warp,
+            pallas_packed=getattr(pc, "pallas_packed", False),
+            pallas_seg_skip=getattr(pc, "pallas_seg_skip", False),
         )
 
         # --- replay buffer ----------------------------------------------
@@ -698,18 +700,22 @@ class Slam:
         max_steps: Optional[int] = None,
         progress: bool = True,
         prefetch_depth: int = 3,
+        prefetch_workers: int = 1,
     ):
-        """Drive the loop with an N-deep host prefetch: the worker thread
-        decodes/renders up to `prefetch_depth` frames ahead of the device
+        """Drive the loop with an N-deep host prefetch: worker threads
+        decode/render up to `prefetch_depth` frames ahead of the device
         (the device sync inside step() releases the GIL).  Depth > 1 absorbs
         decode-latency jitter — at native device speeds a single-frame buffer
-        drains on any slow PNG and stalls the chip."""
+        drains on any slow PNG and stalls the chip.  `prefetch_workers` > 1
+        decodes frames concurrently (PIL/numpy release the GIL) while
+        consumption stays in order — for real datasets whose 3-PNG decode
+        exceeds the device frame time."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         n = len(self) if max_steps is None else min(max_steps, len(self))
         depth = max(1, prefetch_depth)
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        with ThreadPoolExecutor(max_workers=max(1, prefetch_workers)) as pool:
             pending = deque(
                 pool.submit(self.dataset.__getitem__, self.current_step + k)
                 for k in range(min(depth, n))
