@@ -163,6 +163,20 @@ def calibrate(
 
         return jax.value_and_grad(f)(coords)
 
+    def warp_pallas_packed_fb(src, coords):
+        def f(c):
+            return pallas_warp_static(src, c, interpret, 1, False, True).sum()
+
+        return jax.value_and_grad(f)(coords)
+
+    def warp_pallas_segskip_fb(src, coords):
+        def f(c):
+            return pallas_warp_static(
+                src, c, interpret, 1, False, False, True
+            ).sum()
+
+        return jax.value_and_grad(f)(coords)
+
     # loss fwd+bwd alone (warped preds given): the non-warp, non-conv slice
     # of the per-iteration cost — sizes the fused-loss-kernel opportunity
     from tpuslam.losses.photometric import total_loss
@@ -217,6 +231,10 @@ def calibrate(
         ("iter_fwd_bwd", jax.jit(iter_fwd_bwd), (params,), PEAK_FLOPS_F32),
         ("loss_fwd_bwd", jax.jit(loss_fwd_bwd), (loss_outputs,), PEAK_FLOPS_F32),
         ("warp_pallas_fwd_bwd", jax.jit(warp_pallas_fb), (src, coords), PEAK_FLOPS_F32),
+        ("warp_pallas_packed_fwd_bwd", jax.jit(warp_pallas_packed_fb),
+         (src, coords), PEAK_FLOPS_F32),
+        ("warp_pallas_segskip_fwd_bwd", jax.jit(warp_pallas_segskip_fb),
+         (src, coords), PEAK_FLOPS_F32),
         ("warp_xla_fwd_bwd", jax.jit(warp_xla_fb), (src, coords), PEAK_FLOPS_F32),
         ("adam_update", jax.jit(adam), (state.opt_state, grads, params), PEAK_FLOPS_F32),
     ]
@@ -312,6 +330,10 @@ def analytic_bytes(height: int = 192, width: int = 640, batch: int = 3,
         "decoder_fwd": dec + pose_dec,
         "iter_fwd_bwd": iter_fb,
         "warp_pallas_fwd_bwd": warp * 2,
+        # the packed/seg-skip variants move the SAME bytes — they cut
+        # in-register gather work, not HBM traffic
+        "warp_pallas_packed_fwd_bwd": warp * 2,
+        "warp_pallas_segskip_fwd_bwd": warp * 2,
         "loss_fwd_bwd": loss,
         "adam_update": adam,
     }
