@@ -412,3 +412,22 @@ def test_slam_pipeline_depth_adaptation_runs(tmp_path):
     assert np.isfinite(outs[-1]["loss"])
     report = slam.final_report()
     assert "Abs traj RMSE" in report
+
+
+@pytest.mark.slow
+def test_slam_pipeline_with_async_adaptation(tmp_path):
+    """pipeline_depth composes with CoVIO async mode: eval dispatch +
+    background update at dispatch time, deferred retire for the host
+    bookkeeping.  Counters and graph must cover every frame after flush."""
+    cfg = _config(tmp_path, async_adaptation=True, pipeline_depth=2,
+                  do_loop_closures=True, keyframe_frequency=2,
+                  lc_distance_poses=2)
+    slam = Slam(cfg)
+    for _ in range(6):
+        slam.step()
+    slam.finish_async()  # flushes the pipeline, then adopts in-flight update
+    assert not slam._retire_queue
+    assert slam.pose_graph.vertex_ids == list(range(7))
+    assert slam.async_updates_launched >= 1
+    assert slam.async_updates_adopted >= 1
+    assert len(slam.rel_trans_error) == 6

@@ -29,6 +29,8 @@ def main(argv=None) -> int:
                     help="override slam.pipeline_depth: defer per-frame host "
                          "readbacks N frames so sync latency overlaps device "
                          "compute (0 = reference per-frame sync)")
+    ap.add_argument("--prefetch-workers", type=int, default=1,
+                    help="host decode threads feeding the prefetch queue")
     args = ap.parse_args(argv)
 
     np.random.seed(args.seed)
@@ -37,7 +39,8 @@ def main(argv=None) -> int:
         config.slam.pipeline_depth = args.pipeline_depth
     slam = Slam(config)
     print(f"tpuslam adapt: {len(slam)} frames, log -> {slam.log_path}")
-    slam.run(max_steps=args.max_steps, progress=not args.no_progress)
+    slam.run(max_steps=args.max_steps, progress=not args.no_progress,
+             prefetch_workers=args.prefetch_workers)
 
     slam.save_metrics()
     slam.save_model()
