@@ -431,3 +431,23 @@ def test_slam_pipeline_with_async_adaptation(tmp_path):
     assert slam.async_updates_launched >= 1
     assert slam.async_updates_adopted >= 1
     assert len(slam.rel_trans_error) == 6
+
+
+@pytest.mark.slow
+def test_slam_pipeline_skip_frames_retire_in_order(tmp_path):
+    """Min-distance-skipped frames ride the retire queue too: their
+    (deferred) buffer admission happens in frame order, no graph vertex is
+    added, and the pipe flush leaves nothing behind."""
+    cfg = _config(tmp_path, pipeline_depth=2)
+    cfg.slam.min_distance = 1e9  # everything after frame 1 skips
+    slam = Slam(cfg)
+    for _ in range(5):
+        out = slam.step()
+    slam.flush_pipeline()
+    assert not slam._retire_queue
+    # only frame 1 processes -> vertices [0, 1]; skipped frames add none
+    assert slam.pose_graph.vertex_ids == [0, 1]
+    assert out == {"depth_loss": 0.0, "velocity_loss": 0.0}
+    # every frame (incl. skipped) was admitted to the replay buffer with
+    # its pre-adaptation embedding, like the reference (slam.py:143-153)
+    assert len(slam.replay_buffer) >= 1
