@@ -137,5 +137,43 @@ def main() -> None:
     )
 
 
+def _main_with_watchdog() -> None:
+    """Run main() under a dead-backend watchdog.
+
+    The dev relay's outages stall device calls indefinitely (CLAUDE.md —
+    observed multi-hour `UNAVAILABLE` windows where even a 256x256 matmul
+    never returns).  A hung bench records NOTHING for the round; this
+    prints an honest zero-valued JSON line instead and exits.  The budget
+    (15 min) is ~4x a healthy cold-compile run, so it cannot clip a live
+    measurement."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def runner():
+        try:
+            main()
+        finally:
+            done.set()
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    if not done.wait(timeout=900):
+        print(
+            json.dumps(
+                {
+                    "metric": "online_adapt_frames_per_sec",
+                    "value": 0.0,
+                    "unit": "frames/sec (NOT MEASURED)",
+                    "vs_baseline": 0.0,
+                    "error": "tpu backend unresponsive for 900s (relay outage)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_watchdog()
