@@ -150,16 +150,25 @@ def _main_with_watchdog() -> None:
     import threading
 
     done = threading.Event()
+    error: list[BaseException] = []
 
     def runner():
         try:
             main()
+        except BaseException as e:  # re-raised on the main thread below
+            error.append(e)
         finally:
             done.set()
 
     t = threading.Thread(target=runner, daemon=True)
     t.start()
-    if not done.wait(timeout=900):
+    if done.wait(timeout=900):
+        if error:
+            # A failed bench must exit non-zero (the pre-watchdog contract):
+            # a harness keying on the exit code must not record a crashed
+            # measurement as success.
+            raise error[0]
+    else:
         print(
             json.dumps(
                 {

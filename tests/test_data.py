@@ -132,3 +132,25 @@ def test_chained_dataset_domains_and_poses():
     # the offset chain keeps positions in the same world frame (no jump back
     # to origin)
     assert np.linalg.norm(sb_first[:3, 3]) >= np.linalg.norm(sa_last[:3, 3]) - 2.0
+
+
+def test_concurrent_getitem_thread_safety():
+    """Slam.run(prefetch_workers > 1) calls __getitem__ from several threads;
+    the render cache and the shared augmentation Generator must survive that
+    (cache eviction raced a KeyError and Generator state corrupted before the
+    per-dataset locks).  Deterministic fields must match the serial read."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ds = SyntheticDataset(
+        num_frames=12, height=48, width=160, trajectory="curve",
+        do_augmentation=True,
+    )
+    serial = [ds[i] for i in range(len(ds))]
+    for _ in range(3):  # several passes so cache eviction gets exercised
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            out = list(pool.map(ds.__getitem__, range(len(ds))))
+        for a, b in zip(serial, out):
+            np.testing.assert_array_equal(a.rgb, b.rgb)
+            np.testing.assert_array_equal(a.depth, b.depth)
+            np.testing.assert_array_equal(a.rel_pose, b.rel_pose)
+            assert b.rgb_aug is not None  # random per draw — presence only

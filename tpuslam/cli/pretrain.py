@@ -91,7 +91,9 @@ def main(argv=None) -> int:
         validate=val_ds is not None,
         depth_error=val_ds is not None,
         save_val_depth=(
-            pc.save_val_depth_batches * pc.batch_size if pc.save_val_depth else 0
+            max(1, pc.save_val_depth_batches) * pc.batch_size
+            if pc.save_val_depth
+            else 0
         ),
     )
     return 0

@@ -16,6 +16,8 @@ import json
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple, Union
 
+import threading
+
 import numpy as np
 
 from tpuslam.data.base import Sample, flip_sample_arrays, load_image, random_color_jitter
@@ -47,6 +49,7 @@ class Cityscapes:
         self.with_depth = with_depth
         self.with_mask = with_mask
         self._aug_rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()  # concurrent __getitem__ safety
 
         seq_dir = self.data_path / "leftImg8bit_sequence" / split
         if not seq_dir.exists():
@@ -150,9 +153,11 @@ class Cityscapes:
         rgb_aug = None
         mask = self._load_mask(paths[1]) if self.with_mask else None
         if self.do_augmentation:
-            jitter = random_color_jitter(self._aug_rng)
+            with self._rng_lock:  # draws only; applying jitter is the cost
+                jitter = random_color_jitter(self._aug_rng)
+                flip = self._aug_rng.random() > 0.5
             rgb_aug = np.stack([jitter(f) for f in frames])
-            if self._aug_rng.random() > 0.5:
+            if flip:
                 rgb, rgb_aug, mask = flip_sample_arrays(rgb, rgb_aug, mask)
         rel = np.array(
             [

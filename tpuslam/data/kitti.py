@@ -28,6 +28,8 @@ from datetime import datetime
 from pathlib import Path
 from typing import Sequence, Union
 
+import threading
+
 import numpy as np
 
 from tpuslam.data.base import (
@@ -118,6 +120,9 @@ class KittiOdometry:
         self.with_mask = with_mask
         self.do_augmentation = do_augmentation
         self._aug_rng = np.random.default_rng(seed)
+        # concurrent __getitem__ (Slam.run prefetch_workers > 1) must not
+        # corrupt the shared Generator — draws happen under this lock
+        self._rng_lock = threading.Lock()
         self.K = scale_intrinsics(KITTI_NORMALIZED_K, height, width)
 
         self.image_files: list = []
@@ -242,9 +247,11 @@ class KittiOdometry:
             mask = self._load_mask(self.mask_files[center])
         do_flip = False
         if self.do_augmentation:
-            jitter = random_color_jitter(self._aug_rng)
+            with self._rng_lock:  # draws only; applying jitter is the cost
+                jitter = random_color_jitter(self._aug_rng)
+                flip = self._aug_rng.random() > 0.5
             rgb_aug = np.stack([jitter(f) for f in frames])
-            if self._aug_rng.random() > 0.5:
+            if flip:
                 rgb, rgb_aug, mask = flip_sample_arrays(rgb, rgb_aug, mask)
                 do_flip = True
 

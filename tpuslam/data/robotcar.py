@@ -20,6 +20,8 @@ from __future__ import annotations
 from pathlib import Path
 from typing import List, Optional, Sequence, Union
 
+import threading
+
 import numpy as np
 from scipy.interpolate import interp1d
 from scipy.spatial.transform import Rotation, Slerp
@@ -94,6 +96,7 @@ class RobotCar:
         self.width = width
         self.do_augmentation = do_augmentation
         self._aug_rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()  # concurrent __getitem__ safety
 
         img_dir = self.data_path / sequence / image_dir
         files = sorted(img_dir.glob("*.png"))
@@ -171,7 +174,8 @@ class RobotCar:
         rgb = np.stack(frames)
         rgb_aug = None
         if self.do_augmentation:
-            jitter = random_color_jitter(self._aug_rng)
+            with self._rng_lock:  # draws only; applying jitter is the cost
+                jitter = random_color_jitter(self._aug_rng)
             rgb_aug = np.stack([jitter(f) for f in frames])
         rel_pose = abs_pose = None
         if self.global_poses is not None:

@@ -14,6 +14,7 @@ infinite C-inf sum of sinusoids, so photometric gradients exist everywhere
 """
 from __future__ import annotations
 
+import threading
 import zlib
 from typing import Tuple
 
@@ -136,6 +137,11 @@ class SyntheticDataset:
         self._render_cache: dict = {}
         self._ray_grid = None
         self._aug_rng = np.random.default_rng(seed + 1)
+        # Slam.run(prefetch_workers > 1) calls __getitem__ concurrently:
+        # the shared Generator and the cache's check-evict-insert sequence
+        # are not thread-safe on their own.
+        self._rng_lock = threading.Lock()
+        self._cache_lock = threading.Lock()
         positions = self.global_poses[:, :3, 3]
         steps = np.linalg.norm(np.diff(positions, axis=0), axis=1)
         self.relative_distances = np.concatenate([[0.0], steps]).astype(np.float32)
@@ -185,18 +191,25 @@ class SyntheticDataset:
         frames, depth0 = [], None
         for off in (-1, 0, 1):
             key = center + off
-            if key not in self._render_cache:
-                if len(self._render_cache) > 8:
-                    self._render_cache.pop(next(iter(self._render_cache)))
-                self._render_cache[key] = self.render(self.global_poses[key])
-            img, depth = self._render_cache[key]
+            with self._cache_lock:
+                cached = self._render_cache.get(key)
+            if cached is None:
+                # render outside the lock (a racing duplicate render of the
+                # same frame is harmless — both produce identical arrays)
+                cached = self.render(self.global_poses[key])
+                with self._cache_lock:
+                    if len(self._render_cache) > 8:
+                        self._render_cache.pop(next(iter(self._render_cache)))
+                    self._render_cache[key] = cached
+            img, depth = cached
             frames.append(img)
             if off == 0:
                 depth0 = depth
         rgb = np.stack(frames)
         rgb_aug = None
         if self.do_augmentation:
-            jitter = random_color_jitter(self._aug_rng)
+            with self._rng_lock:  # the draw is cheap; applying it is not
+                jitter = random_color_jitter(self._aug_rng)
             rgb_aug = np.stack([jitter(f) for f in frames])
         # reference contract (datasets/kitti.py:306-314): pose of frame +1
         # relative to frame 0, and the global pose of frame +1

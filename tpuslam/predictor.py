@@ -85,6 +85,8 @@ class DepthPosePrediction:
             use_pallas_warp=getattr(config, "pallas_warp", False),
             pallas_packed=getattr(config, "pallas_packed", False),
             pallas_seg_skip=getattr(config, "pallas_seg_skip", False),
+            pallas_group_skip=getattr(config, "pallas_group_skip", True),
+            pallas_extra_tiles=getattr(config, "pallas_extra_tiles", 2),
         )
         self.tx = make_adapt_optimizer(variables["params"], config.learning_rate)
         self.state = make_train_state(
@@ -127,6 +129,8 @@ class DepthPosePrediction:
             dp_devices=c.dp_devices,
             encoder_weights=c.encoder_weights,
             resnet_pretrained=c.resnet_pretrained,
+            scale_prior_epochs=c.scale_prior_epochs,
+            scale_prior_weight=c.scale_prior_weight,
             dtype=c.dtype,
         )
         trainer.state = self.state
@@ -146,7 +150,9 @@ class DepthPosePrediction:
             depth_error=depth_error,
             log_fn=log_fn,
             save_val_depth=(
-                c.save_val_depth_batches * c.batch_size if c.save_val_depth else 0
+                max(1, c.save_val_depth_batches) * c.batch_size
+                if c.save_val_depth
+                else 0
             ),
             image_logger=logger,
         )

@@ -20,6 +20,7 @@ import numpy as np
 from tpuslam.checkpoint.io import save_checkpoint
 from tpuslam.checkpoint.torch_import import init_encoders_from_imagenet
 from tpuslam.data.base import Prefetcher, Sample
+from tpuslam.geometry.depth import depth_to_disp
 from tpuslam.models import init_depth_pose
 from tpuslam.train.batch import FrameBatch, make_frame_batch
 from tpuslam.train.state import (
@@ -299,7 +300,15 @@ class Pretrainer:
             d = np.asarray(depth)[0, ..., 0]
             rgbs.append(image[0])
             depths.append(d)
-            disps.append(1.0 / np.maximum(d, 1e-6))
+            disps.append(
+                np.asarray(
+                    depth_to_disp(
+                        np.maximum(d, 1e-6),
+                        min_depth=self.cfg.min_depth,
+                        max_depth=self.cfg.max_depth,
+                    )
+                )
+            )
             gts.append(s.depth)
             indices.append(i)
         if not rgbs:

@@ -110,16 +110,18 @@ def profile_host_pipeline(
     """Host-side decode/batch micro-benchmark (the feed for the SLAM loop).
 
     Measures per-frame: `dataset[i]` latency (PNG decode / synthetic render +
-    resize pyramid) and FrameBatch assembly + host->device transfer.  Compare
-    against the device frame time (profile_adapt_step): at native speeds
-    (O(10 ms)/frame) host decode of 3 images/frame becomes the bottleneck
-    long before the chip — this quantifies how deep `Slam.run`'s prefetch
-    queue must be and whether decode needs more workers.
+    resize pyramid), FrameBatch assembly (pure host — make_frame_batch
+    returns numpy), and the host->device transfer as a separate,
+    attachment-dependent number.  Compare against the device frame time
+    (profile_adapt_step): at native speeds (O(10 ms)/frame) host decode of
+    3 images/frame becomes the bottleneck long before the chip — this
+    quantifies how deep `Slam.run`'s prefetch queue must be and whether
+    decode needs more workers.
 
-    Returns {"ms_decode", "ms_batch", "ms_total_host"}.
+    Returns {"ms_decode", "ms_batch", "ms_total_host", "ms_transfer"};
+    ms_total_host = decode + assembly (host work only).
     """
     import jax
-    import numpy as np
 
     from tpuslam.train import make_frame_batch
 
@@ -130,21 +132,33 @@ def profile_host_pipeline(
             num_frames=samples + 2, height=height, width=width
         )
     n = min(samples, len(dataset))
+    if n == 0:
+        raise ValueError("profile_host_pipeline needs a non-empty dataset")
 
     t0 = time.perf_counter()
     items = [dataset[i] for i in range(n)]
     ms_decode = (time.perf_counter() - t0) / n * 1e3
 
     t0 = time.perf_counter()
-    for s in items:
-        batch = make_frame_batch(s.rgb[None], s.K, s.rel_dist[None])
-    jax.tree_util.tree_map(np.asarray, batch)  # force the transfer
+    batches = [make_frame_batch(s.rgb[None], s.K, s.rel_dist[None]) for s in items]
     ms_batch = (time.perf_counter() - t0) / n * 1e3
+
+    # Host->device transfer: chained device_puts with ONE forced scalar
+    # readback at the end (block_until_ready does not block on the relay
+    # attachment — CLAUDE.md), so per-frame cost is amortised throughput,
+    # not per-transfer sync latency.
+    t0 = time.perf_counter()
+    dev = None
+    for b in batches:
+        dev = jax.tree_util.tree_map(jax.device_put, b)
+    float(jax.tree_util.tree_leaves(dev)[0].ravel()[0])
+    ms_transfer = (time.perf_counter() - t0) / n * 1e3
 
     return {
         "ms_decode": round(ms_decode, 3),
         "ms_batch": round(ms_batch, 3),
         "ms_total_host": round(ms_decode + ms_batch, 3),
+        "ms_transfer": round(ms_transfer, 3),
     }
 
 
