@@ -73,6 +73,11 @@ def main() -> None:
     ap.add_argument("--seg-skip", action="store_true",
                     help="enable pallas_seg_skip per-segment sweep "
                          "predication (implies packed taps)")
+    ap.add_argument("--group-skip", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="pallas_group_skip vertical group-predicated sweep "
+                         "(tap-identical vs dense; default on, "
+                         "--no-group-skip for the dense A/B)")
     ap.add_argument("--height", type=int, default=HEIGHT)
     ap.add_argument("--width", type=int, default=WIDTH)
     ap.add_argument("--iters", type=int, default=ADAPT_ITERS,
@@ -93,6 +98,7 @@ def main() -> None:
         overrides["pallas_packed"] = True
     if args.seg_skip:
         overrides["pallas_seg_skip"] = True
+    overrides["pallas_group_skip"] = args.group_skip
     cfg = LossConfig(scales=(0, 1, 2, 3), min_depth=0.1, max_depth=None,
                      **overrides)  # pallas warp on by default
     tx = make_adapt_optimizer(variables["params"], 1e-4)

@@ -257,6 +257,51 @@ def test_pallas_warp_static_segskip_close_fwd_bwd(rng):
     np.testing.assert_allclose(g_seg, g_dense, atol=0.05, rtol=0.05)
 
 
+def test_pallas_warp_static_groupskip_tap_identical_fwd_bwd(rng):
+    """group_skip (vertical per-group pl.when over the dense f32 sweep)
+    selects the same taps and runs the same f32 formula as the dense path,
+    forward and backward: each lane's window row lives in exactly one group.
+    Equal up to FMA contraction (the pl.when regions change XLA's fusion
+    choices; observed max 1 ulp), like the segskip comparison."""
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+
+    src, coords = _static_data(rng)
+    dense = np.asarray(pallas_warp_static(src, coords, True))
+    grp = np.asarray(pallas_warp_static(src, coords, True, group_skip=True))
+    np.testing.assert_allclose(grp, dense, atol=3e-7)
+
+    def loss(c, gs):
+        return (pallas_warp_static(src, c, True, 1, False, False, False,
+                                   gs) ** 2).sum()
+
+    g_dense = np.asarray(jax.grad(loss)(coords, False))
+    g_grp = np.asarray(jax.grad(loss)(coords, True))
+    np.testing.assert_allclose(g_grp, g_dense, atol=1e-5, rtol=1e-6)
+
+
+@pytest.mark.parametrize("extra_tiles", [1, 2])
+def test_pallas_warp_static_groupskip_cross_group_footprints(rng, extra_tiles):
+    """Vertical flows that cross group boundaries (per-lane mixed-sign,
+    up to +-12 px) must still match: every hit group executes and the
+    per-group masks partition the output rows.  At extra_tiles=2 the taller
+    window's extra groups extend the exact domain like the dense path."""
+    from tpuslam.ops.pallas_warp import pallas_warp_static
+
+    src, _ = _static_data(rng)
+    gx, gy = np.meshgrid(np.arange(WS, dtype=np.float32),
+                         np.arange(HS, dtype=np.float32), indexing="xy")
+    amp = 4.0 + 8.0 * (extra_tiles - 1)
+    dy = amp * np.sin(gx / WS * 7.0)[None] * np.ones((B, 1, 1), np.float32)
+    coords = jnp.asarray(
+        np.stack([gx[None] + 0 * dy, gy[None] + dy], axis=-1).astype(np.float32)
+    )
+    dense = np.asarray(pallas_warp_static(src, coords, True, extra_tiles))
+    grp = np.asarray(
+        pallas_warp_static(src, coords, True, extra_tiles, group_skip=True)
+    )
+    np.testing.assert_allclose(grp, dense, atol=3e-7)
+
+
 def test_pallas_warp_static_segskip_cross_segment_footprints(rng):
     """Tiles whose horizontal footprint spans MULTIPLE window segments
     (large +-100 px horizontal flow) must still match the dense path: every

@@ -98,10 +98,12 @@ def main(argv=None) -> int:
         help="conv compute dtype override (quality/speed A/B; params stay f32)",
     )
     ap.add_argument(
-        "--warp", default=None, choices=["dense", "packed", "seg_skip"],
+        "--warp", default=None,
+        choices=["dense", "packed", "seg_skip", "group_skip"],
         help="pallas warp gather variant override (quality/speed A/B): "
-             "dense f32 taps (default), bf16 packed dual-taps, or packed + "
-             "per-segment sweep predication",
+             "dense f32 taps (default), bf16 packed dual-taps, packed + "
+             "per-segment sweep predication, or tap-identical vertical "
+             "group-predicated sweep",
     )
     args = ap.parse_args(argv)
     which = {int(r) for r in args.rungs.split(",")}
@@ -117,6 +119,11 @@ def main(argv=None) -> int:
             warp_kwargs["pallas_packed"] = True
         elif args.warp == "seg_skip":
             warp_kwargs["pallas_seg_skip"] = True
+        elif args.warp == "group_skip":
+            warp_kwargs["pallas_group_skip"] = True
+        elif args.warp == "dense":
+            # group_skip defaults ON — "dense" must actually disable it
+            warp_kwargs["pallas_group_skip"] = False
         cfg.depth_pose = DepthPoseConfig(
             batch_size=batch_size, scales=(0, 1, 2, 3), max_depth=80.0,
             log_path=args.log / tag, load_weights_folder=args.weights,

@@ -61,7 +61,9 @@ class DepthPoseConfig:
     log_path: Path = Path("./log/run")
     save_frequency: int = -1
     save_val_depth: bool = False
-    save_val_depth_batches: int = 0
+    # batches of panels per epoch when save_val_depth is on (values < 1
+    # are treated as 1 so enabling the boolean alone saves something)
+    save_val_depth_batches: int = 1
     load_weights_folder: Optional[Path] = None
     use_wandb: bool = False
     # TPU-native knobs
@@ -83,6 +85,16 @@ class DepthPoseConfig:
     # (~1/6 the gathers of the dense f32 sweep, implies packed taps).
     pallas_packed: bool = False
     pallas_seg_skip: bool = False
+    # `pallas_group_skip` predicates the dense f32 sweep per vertical
+    # TILE_H-row window group (tap-identical, no added per-row arithmetic —
+    # the packed variants' measured failure mode; BASELINE.md 2026-08-18).
+    # Default ON (measured faster at every window height).
+    pallas_group_skip: bool = True
+    # Static-warp window height = 8 + 2*extra_tiles*8 rows.  Default 2:
+    # ~16-24 px exact vertical-flow margin (near-field road rows exceed
+    # the extra_tiles=1 ~8 px margin — ADVICE r2), ~6% slower than 1 under
+    # the group-predicated sweep.
+    pallas_extra_tiles: int = 2
     config_file: Optional[Path] = None
 
 

@@ -439,6 +439,98 @@ def _segskip_sweep(src_win_ref, coords_ref, H, W, out_h, extra_tiles, emit):
             emit(in_seg, A0, A1, B0, B1, wx, wy)
 
 
+def _groupskip_sweep(src_win_ref, coords_ref, H, W, out_h, extra_tiles, emit):
+    """Vertical group-predicated sweep: ONE pl.when per TILE_H-row GROUP of
+    window row pairs (win_h/8 predicates: 3 at extra_tiles=1, 5 at 2), each
+    guarding a dense f32 raw-tap select sweep restricted to that group.
+
+    Why vertical, and why f32: the 2026-08-18 relay measurements
+    (BASELINE.md) showed the packed/seg-skip variants LOSE despite cutting
+    gathers 2-6x — the per-row full-width pack arithmetic costs more than
+    the gathers it saves.  This sweep adds NO per-row arithmetic: it simply
+    skips entire sublane-tile row groups that no output pixel maps to
+    (gathers + merge `where`s + tap selects all drop together).  An output
+    block's vertical footprint is out_h rows + |flow_y|, so 1-2 of the 3
+    groups execute for frame-to-frame SLAM flows; the extra window rows
+    bought by `extra_tiles=2` (the ADVICE-r2 near-field margin) live in
+    groups that are skipped unless the flow actually reaches them, making
+    the taller exactness window nearly free.
+
+    Within-group the pair-select walks rows with the same cross-pair gather
+    reuse as the dense sweep (the per-ROW pl.when lost exactly this reuse
+    and measured net negative).  Tap-identical vs the dense path (equal
+    up to FMA contraction, observed <= 1 ulp): each lane's yr lives in
+    exactly one group, and the executed group selects the same four taps
+    and runs the same f32 formula.
+
+    Calls `emit(group_hit, A0, A1, B0, B1, wx, wy)` once per EXECUTED
+    group; emit must write refs (values cannot escape a pl.when body) and
+    mask with group_hit."""
+    C = src_win_ref.shape[1]
+    win_h = out_h + 2 * extra_tiles * TILE_H
+    xr, yr, wx, wy = _static_tile_coords(coords_ref, H, W, out_h, extra_tiles)
+    xr1 = jnp.minimum(xr + 1, SWIN_W - 1)
+    for g0 in range(0, win_h - 1, TILE_H):
+        g1 = min(g0 + TILE_H, win_h - 1)
+        group_hit = (yr >= g0) & (yr < g1)
+
+        @pl.when(jnp.any(group_hit))
+        def _(g0=g0, g1=g1, group_hit=group_hit):
+            b0 = _row_gather_all_channels(src_win_ref, g0, xr, C)
+            b1 = _row_gather_all_channels(src_win_ref, g0, xr1, C)
+            A0 = A1 = B0 = B1 = jnp.zeros((C, out_h, TILE_W), jnp.float32)
+            for w in range(g0, g1):
+                a0, a1 = b0, b1
+                b0 = _row_gather_all_channels(src_win_ref, w + 1, xr, C)
+                b1 = _row_gather_all_channels(src_win_ref, w + 1, xr1, C)
+                hit = yr == w
+                A0 = jnp.where(hit, a0, A0)
+                A1 = jnp.where(hit, a1, A1)
+                B0 = jnp.where(hit, b0, B0)
+                B1 = jnp.where(hit, b1, B1)
+            emit(group_hit, A0, A1, B0, B1, wx, wy)
+
+
+def _warp_kernel_static_groupskip(src_win_ref, coords_ref, out_ref, *, H, W,
+                                  out_h, extra_tiles):
+    C = src_win_ref.shape[1]
+    out_ref[0] = jnp.zeros((C, out_h, TILE_W), jnp.float32)
+
+    def emit(group_hit, a0, a1, b0, b1, wx, wy):
+        top = a0 * (1 - wx) + a1 * wx
+        bot = b0 * (1 - wx) + b1 * wx
+        out_ref[0] = jnp.where(
+            group_hit, top * (1 - wy) + bot * wy, out_ref[0]
+        )
+
+    _groupskip_sweep(src_win_ref, coords_ref, H, W, out_h, extra_tiles, emit)
+
+
+def _grad_kernel_static_groupskip(src_win_ref, coords_ref, g_ref, dcoords_ref,
+                                  *, H, W, out_h, extra_tiles):
+    x = coords_ref[0, 0]
+    y = coords_ref[0, 1]
+    g = g_ref[0]
+    dcoords_ref[0, 0] = jnp.zeros_like(x)
+    dcoords_ref[0, 1] = jnp.zeros_like(y)
+
+    def emit(group_hit, a0, a1, b0, b1, wx, wy):
+        ddx = (g * ((a1 - a0) * (1 - wy) + (b1 - b0) * wy)).sum(axis=0)
+        ddy = (g * ((b0 - a0) * (1 - wx) + (b1 - a1) * wx)).sum(axis=0)
+        dcoords_ref[0, 0] = jnp.where(group_hit, ddx, dcoords_ref[0, 0])
+        dcoords_ref[0, 1] = jnp.where(group_hit, ddy, dcoords_ref[0, 1])
+
+    _groupskip_sweep(src_win_ref, coords_ref, H, W, out_h, extra_tiles, emit)
+
+    def live(v, hi):
+        inside = ((v > 0.0) & (v < hi)).astype(jnp.float32)
+        tie = ((v == 0.0) | (v == hi)).astype(jnp.float32)
+        return inside + 0.5 * tie
+
+    dcoords_ref[0, 0] = dcoords_ref[0, 0] * live(x, W - 1)
+    dcoords_ref[0, 1] = dcoords_ref[0, 1] * live(y, H - 1)
+
+
 def _select_neighbors(src_win_ref, coords_ref, H, W, out_h, extra_tiles,
                       packed=False):
     """Dense sweep that SELECTS the four raw bilinear taps, deferring all
@@ -602,7 +694,7 @@ def _static_specs(B, H, W, C, out_channels, out_h, extra_tiles=1):
 
 
 def _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse,
-                             packed=False, seg_skip=False):
+                             packed=False, seg_skip=False, group_skip=False):
     B, H, W, C = src.shape
     assert H % TILE_H == 0 and W % TILE_W == 0, (H, W)
     out_h = _pick_out_h(H)
@@ -610,6 +702,9 @@ def _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse,
     spec = _static_specs(B, H, W, C, C, out_h, extra_tiles)
     if seg_skip:
         kernel = partial(_warp_kernel_static_segskip, H=H, W=W, out_h=out_h,
+                         extra_tiles=extra_tiles)
+    elif group_skip:
+        kernel = partial(_warp_kernel_static_groupskip, H=H, W=W, out_h=out_h,
                          extra_tiles=extra_tiles)
     else:
         kernel = partial(_warp_kernel_static, H=H, W=W, out_h=out_h,
@@ -623,11 +718,11 @@ def _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse,
     return out.transpose(0, 2, 3, 1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def pallas_warp_static(src: jax.Array, coords: jax.Array,
                        interpret: bool = False, extra_tiles: int = 1,
                        sparse: bool = False, packed: bool = False,
-                       seg_skip: bool = False):
+                       seg_skip: bool = False, group_skip: bool = False):
     """Bilinear warp via the STATIC-window Pallas kernel (no in-kernel
     dynamic addressing — compiles on toolchains whose Mosaic rejects dynamic
     `pl.ds`).  Exact for displacements within `extra_tiles` (8, 128) tiles of
@@ -640,22 +735,26 @@ def pallas_warp_static(src: jax.Array, coords: jax.Array,
     additionally predicates the sweep per 128-lane window segment (3
     pl.whens), skipping segments the tile's horizontal footprint misses —
     typically 2 of 3 (see _segskip_sweep); implies packed taps, overrides
-    sparse."""
+    sparse.  `group_skip=True` instead predicates per TILE_H-row vertical
+    group of the dense f32 sweep — tap-identical to the default path (equal
+    up to FMA contraction), no added per-row arithmetic, skips whole row
+    groups the block's vertical footprint misses (see _groupskip_sweep);
+    overrides sparse/packed."""
     return _pallas_warp_static_impl(src, coords, interpret, extra_tiles,
-                                    sparse, packed, seg_skip)
+                                    sparse, packed, seg_skip, group_skip)
 
 
 def _static_fwd(src, coords, interpret, extra_tiles, sparse, packed,
-                seg_skip):
+                seg_skip, group_skip):
     return (
         _pallas_warp_static_impl(src, coords, interpret, extra_tiles, sparse,
-                                 packed, seg_skip),
+                                 packed, seg_skip, group_skip),
         (src, coords),
     )
 
 
-def _static_bwd(interpret, extra_tiles, sparse, packed, seg_skip, residuals,
-                g):
+def _static_bwd(interpret, extra_tiles, sparse, packed, seg_skip, group_skip,
+                residuals, g):
     src, coords = residuals
     B, H, W, C = src.shape
     out_h = _pick_out_h(H)
@@ -666,6 +765,9 @@ def _static_bwd(interpret, extra_tiles, sparse, packed, seg_skip, residuals,
     )
     if seg_skip:
         grad_kernel = partial(_grad_kernel_static_segskip, H=H, W=W,
+                              out_h=out_h, extra_tiles=extra_tiles)
+    elif group_skip:
+        grad_kernel = partial(_grad_kernel_static_groupskip, H=H, W=W,
                               out_h=out_h, extra_tiles=extra_tiles)
     else:
         grad_kernel = partial(_grad_kernel_static, H=H, W=W, out_h=out_h,

@@ -203,6 +203,8 @@ class Slam:
             use_pallas_warp=pc.pallas_warp,
             pallas_packed=getattr(pc, "pallas_packed", False),
             pallas_seg_skip=getattr(pc, "pallas_seg_skip", False),
+            pallas_group_skip=getattr(pc, "pallas_group_skip", True),
+            pallas_extra_tiles=getattr(pc, "pallas_extra_tiles", 2),
         )
 
         # --- replay buffer ----------------------------------------------

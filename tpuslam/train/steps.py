@@ -76,9 +76,13 @@ class LossConfig(NamedTuple):
     # Static-warp window height = 8 + 2*extra_tiles*8 rows: extra_tiles=2
     # widens the exact vertical-displacement domain to ~16-24 px (near-field
     # road rows at 192x640 exceed the round-2 ~8 px margin — ADVICE r2).
-    # `pallas_sparse` row-skips window rows no output pixel maps to
-    # (pl.when), making the taller window nearly free for small flows.
-    pallas_extra_tiles: int = 1
+    # DEFAULT 2: with the group-predicated sweep below, the taller window
+    # costs ~6% (7.76 -> 7.28 fps on the relay) instead of the dense sweep's
+    # ~43%, so the robust margin ships by default; set 1 for the speed
+    # ceiling on small-flow regimes.  `pallas_sparse` row-skips window rows
+    # no output pixel maps to (per-ROW pl.when — measured net negative;
+    # superseded by pallas_group_skip).
+    pallas_extra_tiles: int = 2
     pallas_sparse: bool = False
     # `pallas_packed` halves the warp's per-lane gather count by packing
     # both horizontal bilinear taps as bf16 halves of one u32 lane (bf16
@@ -90,6 +94,16 @@ class LossConfig(NamedTuple):
     # top of packed taps — 1/6 the gathers of the dense f32 sweep.  bf16
     # tap precision like pallas_packed; opt-in pending relay measurement.
     pallas_seg_skip: bool = False
+    # `pallas_group_skip` predicates the dense f32 sweep per TILE_H-row
+    # vertical window group (3 pl.whens at extra_tiles=1, 5 at 2): whole
+    # row groups the block's vertical footprint misses are skipped —
+    # gathers, merges and tap selects together, with NO added per-row
+    # arithmetic (the packed variants' measured failure mode).  DEFAULT ON:
+    # tap-identical to the dense path (equal up to FMA contraction) and
+    # measured faster at every window height (BASELINE.md 2026-08-18:
+    # +3.5% at extra_tiles=1; -43% -> -6% cost for the extra_tiles=2
+    # margin).
+    pallas_group_skip: bool = True
     # Anti-collapse log-mean-disparity prior (losses/photometric.py) for
     # low-parallax pretraining; 0 disables.  The Pretrainer activates it for
     # the first `scale_prior_epochs` epochs only.  The target is a metric
@@ -220,10 +234,15 @@ def warp_and_loss(
         from tpuslam.ops.pallas_warp import pallas_warp_static
 
         # interpret mode off TPU (pallas compiles natively only there)
+        # group_skip defaults ON; an explicitly-requested packed/seg_skip/
+        # sparse variant takes precedence over that default
+        group_skip = cfg.pallas_group_skip and not (
+            cfg.pallas_packed or cfg.pallas_seg_skip or cfg.pallas_sparse
+        )
         warped = pallas_warp_static(
             src, coords, jax.default_backend() != "tpu",
             cfg.pallas_extra_tiles, cfg.pallas_sparse, cfg.pallas_packed,
-            cfg.pallas_seg_skip,
+            cfg.pallas_seg_skip, group_skip,
         )
     else:
         warped = bilinear_sampler(src, coords)
