@@ -78,6 +78,12 @@ def main() -> None:
                     help="pallas_group_skip vertical group-predicated sweep "
                          "(tap-identical vs dense; default on, "
                          "--no-group-skip for the dense A/B)")
+    ap.add_argument("--fused-grad", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="pallas_fused_grad: forward kernel stores tap "
+                         "differentials, VJP becomes an elementwise XLA "
+                         "contraction (no backward gather sweep); "
+                         "--no-fused-grad for the two-kernel A/B")
     ap.add_argument("--height", type=int, default=HEIGHT)
     ap.add_argument("--width", type=int, default=WIDTH)
     ap.add_argument("--iters", type=int, default=ADAPT_ITERS,
@@ -99,6 +105,7 @@ def main() -> None:
     if args.seg_skip:
         overrides["pallas_seg_skip"] = True
     overrides["pallas_group_skip"] = args.group_skip
+    overrides["pallas_fused_grad"] = args.fused_grad
     cfg = LossConfig(scales=(0, 1, 2, 3), min_depth=0.1, max_depth=None,
                      **overrides)  # pallas warp on by default
     tx = make_adapt_optimizer(variables["params"], 1e-4)

@@ -319,3 +319,89 @@ def test_pallas_warp_static_segskip_cross_segment_footprints(rng):
     dense = np.asarray(pallas_warp_static(src, coords, True))
     seg = np.asarray(pallas_warp_static(src, coords, True, seg_skip=True))
     np.testing.assert_allclose(seg, dense, atol=3e-7)
+
+
+@pytest.mark.parametrize("group_skip", [False, True])
+def test_pallas_warp_static_fused_grad_matches(rng, group_skip):
+    """pallas_warp_static_fused stores the tap differentials at forward
+    time and contracts them elementwise in the VJP — forward AND gradient
+    must match the two-kernel path (same taps, same f32 formulas; the
+    moved channel contraction is order-identical at C=3)."""
+    from tpuslam.ops.pallas_warp import (pallas_warp_static,
+                                         pallas_warp_static_fused)
+
+    src, coords = _static_data(rng)
+    fused = np.asarray(
+        pallas_warp_static_fused(src, coords, True, 1, group_skip)
+    )
+    ref = np.asarray(
+        pallas_warp_static(src, coords, True, 1, group_skip=group_skip)
+    )
+    np.testing.assert_allclose(fused, ref, atol=3e-7)
+
+    def loss_fused(c):
+        return (pallas_warp_static_fused(src, c, True, 1, group_skip) ** 2).sum()
+
+    def loss_ref(c):
+        return (pallas_warp_static(src, c, True, 1, False, False, False,
+                                   group_skip) ** 2).sum()
+
+    g_fused = np.asarray(jax.grad(loss_fused)(coords))
+    g_ref = np.asarray(jax.grad(loss_ref)(coords))
+    np.testing.assert_allclose(g_fused, g_ref, atol=1e-5, rtol=1e-6)
+
+
+def test_pallas_warp_static_fused_grad_border_subgradients(rng):
+    """The fused VJP applies the same clip-subgradient convention (1 inside,
+    0 outside, 0.5 at exact boundary) as the backward kernels."""
+    from tpuslam.ops.pallas_warp import (pallas_warp_static,
+                                         pallas_warp_static_fused)
+
+    src, coords = _static_data(rng)
+    coords = coords.at[:, :, :3, 0].set(-2.0)  # outside: zero gradient
+    coords = coords.at[:, :, 3, 0].set(0.0)    # exact boundary: 0.5x
+    coords = coords.at[:, 5, :, 1].set(float(HS - 1))  # bottom boundary
+
+    def loss(fn, c):
+        return (fn(src, c, True, 1, True) ** 2).sum()
+
+    g_fused = np.asarray(jax.grad(lambda c: loss(pallas_warp_static_fused, c))(coords))
+    g_ref = np.asarray(jax.grad(
+        lambda c: (pallas_warp_static(src, c, True, 1, group_skip=True) ** 2).sum()
+    )(coords))
+    np.testing.assert_allclose(g_fused, g_ref, atol=1e-5, rtol=1e-6)
+    assert np.all(g_fused[:, :, :3, 0] == 0.0)
+
+
+def test_warp_and_loss_fused_grad_matches_two_kernel(rng):
+    """End-to-end through warp_and_loss: the fused-grad default must give
+    the same loss gradients as the two-kernel path (pallas_fused_grad is a
+    pure performance knob)."""
+    from tpuslam.train import LossConfig, make_frame_batch
+    from tpuslam.train.steps import warp_and_loss
+
+    rgb = rng.uniform(size=(1, 3, HS, WS, 3)).astype(np.float32)
+    K = np.array([[0.58 * WS, 0, 0.5 * WS, 0], [0, 1.92 * HS, 0.5 * HS, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    batch = make_frame_batch(
+        rgb, K, rng.uniform(0.5, 1.0, (1, 2)).astype(np.float32),
+        quantize=False,
+    )
+    cfg = LossConfig(scales=(0, 1), use_pallas_warp=True,
+                     pallas_fused_grad=True)
+    cfg_ref = LossConfig(scales=(0, 1), use_pallas_warp=True,
+                         pallas_fused_grad=False)
+    disps = {("disp", s): jnp.asarray(
+        rng.uniform(0.2, 0.6, (1, HS // 2**s, WS // 2**s, 1)).astype(np.float32))
+        for s in (0, 1)}
+    aa = jnp.asarray(rng.normal(0, 0.005, (2, 3)).astype(np.float32))
+    tr = jnp.asarray(rng.normal(0, 0.01, (2, 3)).astype(np.float32))
+
+    def loss_with(c, d, a, t):
+        losses, _ = warp_and_loss(d, a, t, batch, c)
+        return losses["loss"]
+
+    g_fused = jax.grad(lambda a: loss_with(cfg, disps, a, tr))(aa)
+    g_ref = jax.grad(lambda a: loss_with(cfg_ref, disps, a, tr))(aa)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               atol=1e-6, rtol=1e-5)

@@ -95,6 +95,11 @@ class DepthPoseConfig:
     # the extra_tiles=1 ~8 px margin — ADVICE r2), ~6% slower than 1 under
     # the group-predicated sweep.
     pallas_extra_tiles: int = 2
+    # `pallas_fused_grad` stores the warp's tap differentials at forward
+    # time so the VJP needs no backward gather sweep (gradient-identical;
+    # see train/steps.py LossConfig).  Ignored when an explicit
+    # packed/seg_skip/sparse variant is requested.
+    pallas_fused_grad: bool = True
     config_file: Optional[Path] = None
 
 

@@ -665,6 +665,53 @@ def _grad_kernel_static(src_win_ref, coords_ref, g_ref, dcoords_ref, *, H, W,
     dcoords_ref[0, 1] = ddy * live(y, H - 1)
 
 
+def _warp_kernel_static_fused(src_win_ref, coords_ref, out_ref, dx_ref,
+                              dy_ref, *, H, W, out_h, extra_tiles,
+                              group_skip):
+    """Forward sweep that ALSO emits the per-channel coordinate
+    differentials d(out)/dx and d(out)/dy.
+
+    The backward kernels re-run the entire gather sweep to rebuild the four
+    bilinear taps the forward already selected — and gathers are the warp's
+    dominant cost on this attachment (BASELINE.md round 3).  Storing the two
+    tap-differential images at forward time trades ~2x the output HBM
+    traffic (cheap) for the whole backward sweep: the VJP collapses to an
+    elementwise channel contraction `sum_c g_c * d_c` that XLA fuses into
+    the surrounding gradient graph.  Same raw taps, same f32 formulas as
+    the non-fused kernels."""
+    C = src_win_ref.shape[1]
+    if group_skip:
+        zero = jnp.zeros((C, out_h, TILE_W), jnp.float32)
+        out_ref[0] = zero
+        dx_ref[0] = zero
+        dy_ref[0] = zero
+
+        def emit(group_hit, a0, a1, b0, b1, wx, wy):
+            top = a0 * (1 - wx) + a1 * wx
+            bot = b0 * (1 - wx) + b1 * wx
+            out_ref[0] = jnp.where(
+                group_hit, top * (1 - wy) + bot * wy, out_ref[0]
+            )
+            dx_ref[0] = jnp.where(
+                group_hit, (a1 - a0) * (1 - wy) + (b1 - b0) * wy, dx_ref[0]
+            )
+            dy_ref[0] = jnp.where(
+                group_hit, (b0 - a0) * (1 - wx) + (b1 - a1) * wx, dy_ref[0]
+            )
+
+        _groupskip_sweep(src_win_ref, coords_ref, H, W, out_h, extra_tiles,
+                         emit)
+        return
+    a0, a1, b0, b1, wx, wy = _select_neighbors(
+        src_win_ref, coords_ref, H, W, out_h, extra_tiles
+    )
+    top = a0 * (1 - wx) + a1 * wx
+    bot = b0 * (1 - wx) + b1 * wx
+    out_ref[0] = top * (1 - wy) + bot * wy
+    dx_ref[0] = (a1 - a0) * (1 - wy) + (b1 - b0) * wy
+    dy_ref[0] = (b0 - a0) * (1 - wx) + (b1 - a1) * wx
+
+
 def _static_specs(B, H, W, C, out_channels, out_h, extra_tiles=1):
     from jax.experimental.pallas import Element
 
@@ -787,3 +834,68 @@ def _static_bwd(interpret, extra_tiles, sparse, packed, seg_skip, group_skip,
 
 
 pallas_warp_static.defvjp(_static_fwd, _static_bwd)
+
+
+def _pallas_warp_static_fused_impl(src, coords, interpret, extra_tiles,
+                                   group_skip):
+    B, H, W, C = src.shape
+    assert H % TILE_H == 0 and W % TILE_W == 0, (H, W)
+    out_h = _pick_out_h(H)
+    assert H >= out_h + 2 * extra_tiles * TILE_H and W >= SWIN_W, (H, W)
+    spec = _static_specs(B, H, W, C, C, out_h, extra_tiles)
+    out_spec = spec.pop("out_specs")
+    kernel = partial(_warp_kernel_static_fused, H=H, W=W, out_h=out_h,
+                     extra_tiles=extra_tiles, group_skip=group_skip)
+    shape = jax.ShapeDtypeStruct((B, C, H, W), jnp.float32)
+    out, dx, dy = pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        out_specs=(out_spec, out_spec, out_spec),
+        interpret=interpret,
+        **spec,
+    )(src.transpose(0, 3, 1, 2), coords.transpose(0, 3, 1, 2))
+    return (out.transpose(0, 2, 3, 1), dx.transpose(0, 2, 3, 1),
+            dy.transpose(0, 2, 3, 1))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def pallas_warp_static_fused(src: jax.Array, coords: jax.Array,
+                             interpret: bool = False, extra_tiles: int = 1,
+                             group_skip: bool = True):
+    """Static-window warp with a FUSED gradient: under `jax.grad` the
+    forward kernel additionally stores the per-channel tap differentials
+    d(out)/dx, d(out)/dy, so the VJP is a plain elementwise contraction
+    (no backward Pallas kernel, no second gather sweep — see
+    `_warp_kernel_static_fused`).  Outside autodiff it runs the ordinary
+    single-output kernel.  Value- and gradient-identical to
+    `pallas_warp_static(..., group_skip=group_skip)` up to FMA contraction;
+    same exactness window.  f32-tap paths only (dense raw-tap select or
+    group_skip); use `pallas_warp_static` for packed/seg_skip/sparse."""
+    return _pallas_warp_static_impl(src, coords, interpret, extra_tiles,
+                                    False, False, False, group_skip)
+
+
+def _fused_fwd(src, coords, interpret, extra_tiles, group_skip):
+    out, dx, dy = _pallas_warp_static_fused_impl(
+        src, coords, interpret, extra_tiles, group_skip
+    )
+    return out, (src, coords, dx, dy)
+
+
+def _fused_bwd(interpret, extra_tiles, group_skip, residuals, g):
+    src, coords, dx, dy = residuals
+    H, W = src.shape[1], src.shape[2]
+
+    # same clip subgradient convention as the kernel backward paths
+    def live(v, hi):
+        inside = ((v > 0.0) & (v < hi)).astype(jnp.float32)
+        tie = ((v == 0.0) | (v == hi)).astype(jnp.float32)
+        return inside + 0.5 * tie
+
+    gf = g.astype(jnp.float32)
+    ddx = (gf * dx).sum(axis=-1) * live(coords[..., 0], W - 1)
+    ddy = (gf * dy).sum(axis=-1) * live(coords[..., 1], H - 1)
+    return jnp.zeros_like(src), jnp.stack([ddx, ddy], axis=-1)
+
+
+pallas_warp_static_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -86,6 +86,7 @@ class DepthPosePrediction:
             pallas_packed=getattr(config, "pallas_packed", False),
             pallas_seg_skip=getattr(config, "pallas_seg_skip", False),
             pallas_group_skip=getattr(config, "pallas_group_skip", True),
+            pallas_fused_grad=getattr(config, "pallas_fused_grad", True),
             pallas_extra_tiles=getattr(config, "pallas_extra_tiles", 2),
         )
         self.tx = make_adapt_optimizer(variables["params"], config.learning_rate)

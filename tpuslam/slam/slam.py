@@ -204,6 +204,7 @@ class Slam:
             pallas_packed=getattr(pc, "pallas_packed", False),
             pallas_seg_skip=getattr(pc, "pallas_seg_skip", False),
             pallas_group_skip=getattr(pc, "pallas_group_skip", True),
+            pallas_fused_grad=getattr(pc, "pallas_fused_grad", True),
             pallas_extra_tiles=getattr(pc, "pallas_extra_tiles", 2),
         )
 

@@ -104,6 +104,15 @@ class LossConfig(NamedTuple):
     # +3.5% at extra_tiles=1; -43% -> -6% cost for the extra_tiles=2
     # margin).
     pallas_group_skip: bool = True
+    # `pallas_fused_grad` makes the forward warp kernel ALSO store the two
+    # per-channel tap-differential images d(out)/dx, d(out)/dy, so the VJP
+    # is an elementwise XLA contraction instead of a second Pallas gather
+    # sweep — the backward kernel (which re-gathers everything the forward
+    # already selected) disappears entirely.  Composes with the dense and
+    # group_skip f32-tap paths; an explicitly-requested packed/seg_skip/
+    # sparse variant takes precedence.  Gradient-identical up to FMA
+    # contraction (tests/test_pallas_warp.py).
+    pallas_fused_grad: bool = True
     # Anti-collapse log-mean-disparity prior (losses/photometric.py) for
     # low-parallax pretraining; 0 disables.  The Pretrainer activates it for
     # the first `scale_prior_epochs` epochs only.  The target is a metric
@@ -231,19 +240,26 @@ def warp_and_loss(
     )
     min_h = 8 + 16 * cfg.pallas_extra_tiles
     if cfg.use_pallas_warp and H % 8 == 0 and W % 128 == 0 and H >= min_h and W >= 384:
-        from tpuslam.ops.pallas_warp import pallas_warp_static
+        from tpuslam.ops.pallas_warp import (pallas_warp_static,
+                                             pallas_warp_static_fused)
 
         # interpret mode off TPU (pallas compiles natively only there)
-        # group_skip defaults ON; an explicitly-requested packed/seg_skip/
-        # sparse variant takes precedence over that default
-        group_skip = cfg.pallas_group_skip and not (
-            cfg.pallas_packed or cfg.pallas_seg_skip or cfg.pallas_sparse
-        )
-        warped = pallas_warp_static(
-            src, coords, jax.default_backend() != "tpu",
-            cfg.pallas_extra_tiles, cfg.pallas_sparse, cfg.pallas_packed,
-            cfg.pallas_seg_skip, group_skip,
-        )
+        # group_skip/fused_grad default ON; an explicitly-requested
+        # packed/seg_skip/sparse variant takes precedence over both
+        interpret = jax.default_backend() != "tpu"
+        explicit = (cfg.pallas_packed or cfg.pallas_seg_skip
+                    or cfg.pallas_sparse)
+        group_skip = cfg.pallas_group_skip and not explicit
+        if cfg.pallas_fused_grad and not explicit:
+            warped = pallas_warp_static_fused(
+                src, coords, interpret, cfg.pallas_extra_tiles, group_skip
+            )
+        else:
+            warped = pallas_warp_static(
+                src, coords, interpret,
+                cfg.pallas_extra_tiles, cfg.pallas_sparse, cfg.pallas_packed,
+                cfg.pallas_seg_skip, group_skip,
+            )
     else:
         warped = bilinear_sampler(src, coords)
     for fi, f in enumerate((-1, 1)):
