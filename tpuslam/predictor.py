@@ -332,16 +332,26 @@ class DepthPosePrediction:
 
     # ------------------------------------------------------------- metrics
     def compute_depth_error(
-        self, dataset, median_scaling: bool = True, max_samples: int = 100,
-        print_results: bool = True,
+        self, dataset, median_scaling: bool = True,
+        max_samples: Optional[int] = None, print_results: bool = True,
     ) -> Dict[str, float]:
         """Monodepth2-style depth eval (reference :344-468): depth always via
         min_depth/disp regardless of the training max_depth (the reference
         passes None at :406), per-sample metrics averaged, median scaling
-        ratio reported as med_scaling."""
-        metrics = []
-        ratios = []
-        for i in range(min(len(dataset), max_samples)):
+        ratio reported as med_scaling.
+
+        Covers the FULL dataset by default like the reference's val-loader
+        sweep (depth_pose_prediction.py:344-468); `max_samples` is an
+        explicit opt-in cap (logged when it truncates).  Predictions are
+        dispatched without syncing and transferred as ONE stacked array —
+        the per-sample host round trip dominated the old loop."""
+        n = len(dataset)
+        if max_samples is not None and n > max_samples:
+            print(f"compute_depth_error: truncating {n} -> {max_samples} samples")
+            n = max_samples
+        preds = []
+        gts = []
+        for i in range(n):
             s: Sample = dataset[i]
             if s.depth is None:
                 continue
@@ -349,24 +359,29 @@ class DepthPosePrediction:
                 self.model, self.state.params, self.state.batch_stats,
                 _batchify(s.rgb[1]), min_depth=self.min_depth, max_depth=None,
             )
-            pred = np.asarray(depth[0, ..., 0])
+            preds.append(depth[:, ..., 0])
+            gts.append(s.depth)
+        if not preds:
+            return {}
+        preds = np.asarray(jnp.concatenate(preds, axis=0))  # one transfer
+        metrics = []
+        ratios = []
+        for pred, gt in zip(preds, gts):
             if median_scaling:
-                valid = s.depth > self.min_depth
+                valid = gt > self.min_depth
                 if valid.any():
                     from tpuslam.eval.depth import _resize_bilinear
 
-                    pr = _resize_bilinear(pred, *s.depth.shape)
+                    pr = _resize_bilinear(pred, *gt.shape)
                     ratios.append(
-                        float(np.median(s.depth[valid]) / np.median(pr[valid]))
+                        float(np.median(gt[valid]) / np.median(pr[valid]))
                     )
             metrics.append(
                 calc_depth_error(
-                    pred, s.depth, median_scaling=median_scaling,
+                    pred, gt, median_scaling=median_scaling,
                     min_depth=self.min_depth, max_depth=self.max_depth,
                 )
             )
-        if not metrics:
-            return {}
         out = {k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]}
         if median_scaling and ratios:
             out["med_scaling"] = float(np.median(ratios))
@@ -375,16 +390,30 @@ class DepthPosePrediction:
         return out
 
     def compute_pose_error(
-        self, dataset, max_samples: int = 100, print_results: bool = True
+        self, dataset, max_samples: Optional[int] = None,
+        print_results: bool = True,
     ) -> Dict[str, float]:
-        """Mean frame-to-frame pose error vs GT (reference :470-525)."""
-        terrs, rerrs = [], []
-        for i in range(min(len(dataset), max_samples)):
+        """Mean frame-to-frame pose error vs GT (reference :470-525).
+
+        Full dataset by default (`max_samples` is an opt-in cap, logged when
+        truncating); poses transfer as one stacked array, not per sample."""
+        n = len(dataset)
+        if max_samples is not None and n > max_samples:
+            print(f"compute_pose_error: truncating {n} -> {max_samples} samples")
+            n = max_samples
+        Ts, gt_poses = [], []
+        for i in range(n):
             s: Sample = dataset[i]
             if s.rel_pose is None:
                 continue
-            T, _ = self.predict_pose(s.rgb[1], s.rgb[2])
-            err = np.linalg.inv(s.rel_pose) @ np.linalg.inv(T)
+            T, _ = self.predict_pose(s.rgb[1], s.rgb[2], as_numpy=False)
+            Ts.append(T[:1])
+            gt_poses.append(s.rel_pose)
+        terrs, rerrs = [], []
+        if Ts:
+            Ts = np.asarray(jnp.concatenate(Ts, axis=0))  # one transfer
+        for T, rel_pose in zip(Ts, gt_poses):
+            err = np.linalg.inv(rel_pose) @ np.linalg.inv(T)
             terrs.append(translation_error(err))
             rerrs.append(rotation_error(err))
         out = {

@@ -194,13 +194,24 @@ class Pretrainer:
             return float("nan")
         return float(np.mean(np.asarray(jax.numpy.stack(losses))))
 
-    def compute_depth_error(self, dataset, max_samples: int = 50) -> Dict[str, float]:
-        """Median-scaled depth metrics over GT-depth samples."""
+    def compute_depth_error(
+        self, dataset, max_samples: Optional[int] = None
+    ) -> Dict[str, float]:
+        """Median-scaled depth metrics over GT-depth samples.
+
+        Full split by default, matching the reference's whole-val-loader
+        sweep (depth_pose_prediction.py:344-468); `max_samples` is an
+        explicit opt-in cap (logged when it truncates).  Per-sample
+        predictions are dispatched unsynced and transferred once, stacked."""
         from tpuslam.eval.depth import calc_depth_error
         from tpuslam.train.steps import predict_depth_step
 
-        metrics: List[Dict[str, float]] = []
-        for i in range(min(len(dataset), max_samples)):
+        n = len(dataset)
+        if max_samples is not None and n > max_samples:
+            print(f"compute_depth_error: truncating {n} -> {max_samples} samples")
+            n = max_samples
+        preds, gts = [], []
+        for i in range(n):
             s = dataset[i]
             if s.depth is None:
                 continue
@@ -212,16 +223,20 @@ class Pretrainer:
                 min_depth=self.cfg.min_depth,
                 max_depth=self.cfg.max_depth,
             )
-            metrics.append(
-                calc_depth_error(
-                    np.asarray(depth[0, ..., 0]),
-                    s.depth,
-                    min_depth=self.cfg.min_depth,
-                    max_depth=self.cfg.max_depth,
-                )
-            )
-        if not metrics:
+            preds.append(depth[:, ..., 0])
+            gts.append(s.depth)
+        if not preds:
             return {}
+        preds = np.asarray(jax.numpy.concatenate(preds, axis=0))  # one transfer
+        metrics: List[Dict[str, float]] = [
+            calc_depth_error(
+                pred,
+                gt,
+                min_depth=self.cfg.min_depth,
+                max_depth=self.cfg.max_depth,
+            )
+            for pred, gt in zip(preds, gts)
+        ]
         return {k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]}
 
     def load(self, folder: Optional[Path] = None) -> "Pretrainer":
