@@ -241,3 +241,51 @@ def test_flat_adapt_optimizer_matches_tree_form(setup, rng):
         assert len(flat_l) == len(tree_l)
         for a, b in zip(flat_l, tree_l):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_depth_lr_scale_split(setup, rng):
+    """Per-head LR split (make_adapt_optimizer depth_lr_scale): 1.0 equals
+    the single-LR form exactly; 0.5 halves exactly the depth-decoder update
+    (Adam's normalised step is grad-identical, scaled by lr); 0.0 freezes
+    the depth decoder with the pose decoder still training."""
+    model, variables = setup
+    params = variables["params"]
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(np.random.default_rng(1).normal(size=p.shape), p.dtype),
+        params,
+    )
+    tx_ref = make_adapt_optimizer(params, 1e-3)
+    tx_10 = make_adapt_optimizer(params, 1e-3, depth_lr_scale=1.0)
+    tx_05 = make_adapt_optimizer(params, 1e-3, depth_lr_scale=0.5)
+    tx_00 = make_adapt_optimizer(params, 1e-3, depth_lr_scale=0.0)
+    updates = {}
+    for name, tx in (("ref", tx_ref), ("1.0", tx_10), ("0.5", tx_05), ("0.0", tx_00)):
+        s = tx.init(params)
+        u, _ = tx.update(grads, s, params)
+        updates[name] = u
+
+    # scale 1.0 takes the unsplit code path -> identical trees
+    for a, b in zip(
+        jax.tree_util.tree_leaves(updates["ref"]),
+        jax.tree_util.tree_leaves(updates["1.0"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # pose decoder identical at every scale; encoders zero at every scale
+    for name in ("0.5", "0.0"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(updates["ref"]["pose_decoder"]),
+            jax.tree_util.tree_leaves(updates[name]["pose_decoder"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for leaf in jax.tree_util.tree_leaves(updates[name]["depth_encoder"]):
+            np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+
+    # depth decoder: exactly half the first-step update at 0.5, zero at 0.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(updates["ref"]["depth_decoder"]),
+        jax.tree_util.tree_leaves(updates["0.5"]["depth_decoder"]),
+    ):
+        np.testing.assert_allclose(np.asarray(b), 0.5 * np.asarray(a), rtol=1e-6)
+    for leaf in jax.tree_util.tree_leaves(updates["0.0"]["depth_decoder"]):
+        np.testing.assert_array_equal(np.asarray(leaf), 0.0)

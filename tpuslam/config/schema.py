@@ -100,6 +100,13 @@ class DepthPoseConfig:
     # see train/steps.py LossConfig).  Ignored when an explicit
     # packed/seg_skip/sparse variant is requested.
     pallas_fused_grad: bool = True
+    # Per-head online LR split (train/state.py make_adapt_optimizer): the
+    # depth decoder adapts at learning_rate * adapt_depth_lr_scale, the pose
+    # decoder at the full rate.  1.0 = reference-exact (both heads share one
+    # LR); 0.0 freezes the depth decoder online.  Mitigates the online
+    # depth/odometry trade-off (ATE -73% but abs_rel 0.187 -> 0.42 at 1.0,
+    # BASELINE.md round-2 trained ladder).
+    adapt_depth_lr_scale: float = 1.0
     config_file: Optional[Path] = None
 
 

@@ -89,7 +89,10 @@ class DepthPosePrediction:
             pallas_fused_grad=getattr(config, "pallas_fused_grad", True),
             pallas_extra_tiles=getattr(config, "pallas_extra_tiles", 2),
         )
-        self.tx = make_adapt_optimizer(variables["params"], config.learning_rate)
+        self.tx = make_adapt_optimizer(
+            variables["params"], config.learning_rate,
+            depth_lr_scale=getattr(config, "adapt_depth_lr_scale", 1.0),
+        )
         self.state = make_train_state(
             variables["params"], variables["batch_stats"], self.tx
         )

@@ -157,7 +157,9 @@ class Slam:
         elif pc.load_weights_folder is not None:
             print(f"slam: weights folder not found, using random init: "
                   f"{pc.load_weights_folder}")
-        self.tx = make_adapt_optimizer(params, pc.learning_rate)
+        self.tx = make_adapt_optimizer(
+            params, pc.learning_rate, depth_lr_scale=pc.adapt_depth_lr_scale
+        )
         self.state = make_train_state(params, batch_stats, self.tx)
         # Dual-network mode (CL-SLAM expert/generalist, BASELINE rung 3):
         # `state` acts as the fast EXPERT; `generalist_state` consolidates on

@@ -60,12 +60,25 @@ def make_adapt_optimizer(
     freeze_encoder: bool = True,
     grad_clip_norm: Optional[float] = None,
     flatten: bool = False,
+    depth_lr_scale: float = 1.0,
 ) -> optax.GradientTransformation:
     """Adam over decoder params only; encoder entries are masked out.
 
     `grad_clip_norm` prepends global-norm clipping — the reference has no
     clipping (parity default None), but aggressive online adaptation can
     produce gradient spikes; see BASELINE.md stability notes.
+
+    `depth_lr_scale` splits the learning rate per decoder head: the depth
+    decoder trains at `learning_rate * depth_lr_scale`, the pose decoder at
+    the full rate.  The reference adapts both heads at one LR — which wins
+    odometry at the cost of depth quality in low-parallax regimes (round-2
+    trained ladder: ATE -73% but abs_rel 0.187 -> 0.42, BASELINE.md): the
+    photometric loss pulls the depth head toward its degenerate far-plane
+    optimum while pose improves.  1.0 (default) is reference-exact; 0.0
+    freezes the depth decoder online entirely (no moments allocated);
+    intermediate values damp depth drift while odometry adapts.  When the
+    scale splits the heads, `grad_clip_norm` clips each head's gradient
+    group separately.
 
     `flatten=True` runs the inner Adam on ONE concatenated vector of the
     trainable leaves instead of a ~60-leaf tree; per-element math is
@@ -80,15 +93,36 @@ def make_adapt_optimizer(
     fused graph.  Note the opt_state pytree differs between forms, so
     checkpoints written with one resume the other via the fresh-optimizer
     fallback (tpuslam/checkpoint/io.py)."""
-    def adam():
+    def adam(lr=learning_rate):
         if grad_clip_norm is None:
-            return optax.adam(learning_rate)
+            return optax.adam(lr)
         return optax.chain(
-            optax.clip_by_global_norm(grad_clip_norm), optax.adam(learning_rate)
+            optax.clip_by_global_norm(grad_clip_norm), optax.adam(lr)
         )
 
     if not freeze_encoder:
         return adam()
+    if depth_lr_scale != 1.0:
+        assert not flatten, "flatten composes only with depth_lr_scale=1.0"
+        labels = {
+            top: jax.tree_util.tree_map(
+                lambda _: (
+                    "frozen" if "encoder" in top
+                    else "depth" if top == "depth_decoder" else "train"
+                ),
+                sub,
+            )
+            for top, sub in params.items()
+        }
+        depth_tx = (
+            optax.set_to_zero()
+            if depth_lr_scale == 0.0
+            else adam(learning_rate * depth_lr_scale)
+        )
+        return optax.multi_transform(
+            {"train": adam(), "depth": depth_tx, "frozen": optax.set_to_zero()},
+            labels,
+        )
     if flatten:
         return _flat_masked_transform(params, adam())
     labels = jax.tree_util.tree_map(
