@@ -84,6 +84,11 @@ def main() -> None:
                          "differentials, VJP becomes an elementwise XLA "
                          "contraction (no backward gather sweep); "
                          "--no-fused-grad for the two-kernel A/B")
+    ap.add_argument("--fused-loss", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="pallas_fused_loss: per-pixel SSIM+L1 error maps "
+                         "from the fused VMEM kernel instead of XLA "
+                         "reduce-window chains (opt-in pending measurement)")
     ap.add_argument("--height", type=int, default=HEIGHT)
     ap.add_argument("--width", type=int, default=WIDTH)
     ap.add_argument("--iters", type=int, default=ADAPT_ITERS,
@@ -113,6 +118,7 @@ def main() -> None:
         overrides["pallas_seg_skip"] = True
     overrides["pallas_group_skip"] = args.group_skip
     overrides["pallas_fused_grad"] = args.fused_grad
+    overrides["pallas_fused_loss"] = args.fused_loss
     cfg = LossConfig(scales=(0, 1, 2, 3), min_depth=0.1, max_depth=None,
                      **overrides)  # pallas warp on by default
     tx = make_adapt_optimizer(variables["params"], 1e-4)

@@ -100,6 +100,12 @@ class DepthPoseConfig:
     # see train/steps.py LossConfig).  Ignored when an explicit
     # packed/seg_skip/sparse variant is requested.
     pallas_fused_grad: bool = True
+    # `pallas_fused_loss` computes the per-pixel reprojection error
+    # (SSIM + L1) in one VMEM-resident Pallas pass per warped prediction
+    # instead of XLA reduce-window chains (ops/pallas_loss.py; maps match
+    # to ~5e-6, gradient via in-kernel jax.vjp).  Opt-in pending
+    # on-silicon measurement.
+    pallas_fused_loss: bool = False
     # Per-head online LR split (train/state.py make_adapt_optimizer): the
     # depth decoder adapts at learning_rate * adapt_depth_lr_scale, the pose
     # decoder at the full rate.  1.0 = reference-exact (both heads share one

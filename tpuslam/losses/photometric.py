@@ -162,6 +162,7 @@ def total_loss(
     identity_base: Optional[jax.Array] = None,
     scale_prior_weight: float = 0.0,
     scale_prior_disp: float = 0.15,
+    reproj_maps: Optional[Dict[Tuple[int, int], jax.Array]] = None,
 ) -> Dict[str, jax.Array]:
     """Fused multi-scale loss — the reference `_compute_loss` semantics.
 
@@ -229,10 +230,17 @@ def total_loss(
     # stacked form wins 7x — context matters (BASELINE.md round 2).
     for scale_i, scale in enumerate(scales):
         identity = identity_base if noise is None else identity_base + noise[scale_i]
-        reproj = jnp.stack(
-            [reprojection_loss(outputs[("rgb", f, scale)], target) for f in frame_ids[1:]],
-            axis=1,
-        )  # (B, F, H, W)
+        if reproj_maps is not None:
+            # precomputed per-(frame, scale) error maps (the fused Pallas
+            # kernel in ops/pallas_loss.py) — same values as the calls below
+            reproj = jnp.stack(
+                [reproj_maps[(f, scale)] for f in frame_ids[1:]], axis=1
+            )  # (B, F, H, W)
+        else:
+            reproj = jnp.stack(
+                [reprojection_loss(outputs[("rgb", f, scale)], target) for f in frame_ids[1:]],
+                axis=1,
+            )  # (B, F, H, W)
         combined = jnp.concatenate([identity, reproj], axis=1)
         to_optimize = combined.min(axis=1)  # (B, H, W)
         if dynamic_masks is not None:

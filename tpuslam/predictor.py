@@ -87,6 +87,7 @@ class DepthPosePrediction:
             pallas_seg_skip=getattr(config, "pallas_seg_skip", False),
             pallas_group_skip=getattr(config, "pallas_group_skip", True),
             pallas_fused_grad=getattr(config, "pallas_fused_grad", True),
+            pallas_fused_loss=getattr(config, "pallas_fused_loss", False),
             pallas_extra_tiles=getattr(config, "pallas_extra_tiles", 2),
         )
         self.tx = make_adapt_optimizer(

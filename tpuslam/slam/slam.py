@@ -207,6 +207,7 @@ class Slam:
             pallas_seg_skip=getattr(pc, "pallas_seg_skip", False),
             pallas_group_skip=getattr(pc, "pallas_group_skip", True),
             pallas_fused_grad=getattr(pc, "pallas_fused_grad", True),
+            pallas_fused_loss=getattr(pc, "pallas_fused_loss", False),
             pallas_extra_tiles=getattr(pc, "pallas_extra_tiles", 2),
         )
 

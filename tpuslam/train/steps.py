@@ -113,6 +113,16 @@ class LossConfig(NamedTuple):
     # sparse variant takes precedence.  Gradient-identical up to FMA
     # contraction (tests/test_pallas_warp.py).
     pallas_fused_grad: bool = True
+    # `pallas_fused_loss` computes the per-pixel reprojection error maps
+    # (0.85*SSIM + 0.15*L1) in a fused VMEM-resident Pallas kernel
+    # (ops/pallas_loss.py) instead of XLA reduce-window chains — each of
+    # the 2*S warped predictions is read from HBM exactly once and only
+    # the (B, H, W) error map is written back, eliminating the pooled-
+    # moment materialisation that dominates the loss slice's HBM traffic
+    # (BASELINE.md round-3 roofline).  Maps match the XLA composition to
+    # <= ~5e-6; backward recomputes under in-kernel jax.vjp (gradient-
+    # identical).  Opt-in until measured on the target silicon.
+    pallas_fused_loss: bool = False
     # Anti-collapse log-mean-disparity prior (losses/photometric.py) for
     # low-parallax pretraining; 0 disables.  The Pretrainer activates it for
     # the first `scale_prior_epochs` epochs only.  The target is a metric
@@ -267,6 +277,24 @@ def warp_and_loss(
             start = (fi * S + si) * B
             outputs[("rgb", f, s)] = warped[start : start + B]
 
+    # Fused per-pixel reprojection-error maps: one kernel pass over the
+    # whole warp stack (k-major/batch-minor — exactly `warped`'s layout),
+    # target DMA'd once per batch row.  total_loss consumes the maps in
+    # place of its per-(frame, scale) reprojection_loss calls.
+    reproj_maps = None
+    if cfg.pallas_fused_loss and H % 8 == 0 and W % 128 == 0:
+        from tpuslam.ops.pallas_loss import fits_vmem, pallas_reproj_err
+
+        if fits_vmem(H, W, warped.shape[-1]):
+            err_all = pallas_reproj_err(
+                warped, batch.frame(0), jax.default_backend() != "tpu"
+            )
+            reproj_maps = {}
+            for fi, f in enumerate((-1, 1)):
+                for si, s in enumerate(cfg.scales):
+                    start = (fi * S + si) * B
+                    reproj_maps[(f, s)] = err_all[start : start + B]
+
     outputs[("cam_T_cam", 0, -1)] = T_prev
     outputs[("cam_T_cam", 0, 1)] = T_next
     outputs[("translation", 0, -1)] = tr_prev
@@ -299,6 +327,7 @@ def warp_and_loss(
         rng=rng,
         dynamic_masks=dynamic_masks,
         identity_base=identity_base,
+        reproj_maps=reproj_maps,
         scale_prior_weight=cfg.scale_prior_weight,
         scale_prior_disp=(
             depth_to_disp(cfg.scale_prior_depth, cfg.min_depth, cfg.max_depth)
