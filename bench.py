@@ -84,6 +84,15 @@ def main() -> None:
                          "differentials, VJP becomes an elementwise XLA "
                          "contraction (no backward gather sweep); "
                          "--no-fused-grad for the two-kernel A/B")
+    ap.add_argument("--tall", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="pallas_tall: full-height column-stripe warp kernel "
+                         "(src window DMA once per image/stripe, deduped "
+                         "sources, unlimited vertical exactness)")
+    ap.add_argument("--bf16-out", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="pallas_bf16_out: store the fused warp kernel's "
+                         "outputs (warped + tap differentials) as bfloat16")
     ap.add_argument("--fused-loss", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="pallas_fused_loss: per-pixel SSIM+L1 error maps "
@@ -119,6 +128,8 @@ def main() -> None:
     overrides["pallas_group_skip"] = args.group_skip
     overrides["pallas_fused_grad"] = args.fused_grad
     overrides["pallas_fused_loss"] = args.fused_loss
+    overrides["pallas_bf16_out"] = args.bf16_out
+    overrides["pallas_tall"] = args.tall
     cfg = LossConfig(scales=(0, 1, 2, 3), min_depth=0.1, max_depth=None,
                      **overrides)  # pallas warp on by default
     tx = make_adapt_optimizer(variables["params"], 1e-4)

@@ -405,3 +405,141 @@ def test_warp_and_loss_fused_grad_matches_two_kernel(rng):
     g_ref = jax.grad(lambda a: loss_with(cfg_ref, disps, a, tr))(aa)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_pallas_warp_static_fused_bf16_out(rng):
+    """bf16_out stores the fused kernel's outputs as bfloat16 with f32
+    in-kernel math: values/gradients match the f32 path within bf16
+    rounding of [0, 1] image data, and the stored dtype is bfloat16."""
+    from tpuslam.ops.pallas_warp import pallas_warp_static_fused
+
+    src, coords = _static_data(rng)
+    out16 = pallas_warp_static_fused(src, coords, True, 1, True, True)
+    out32 = pallas_warp_static_fused(src, coords, True, 1, True, False)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(out32), atol=5e-3
+    )
+
+    def loss(bf16):
+        def f(c):
+            o = pallas_warp_static_fused(src, c, True, 1, True, bf16)
+            return (o.astype(jnp.float32) ** 2).sum()
+
+        return jax.grad(f)(coords)
+
+    g16 = np.asarray(loss(True))
+    g32 = np.asarray(loss(False))
+    # dcoords stays f32 either way; difference is bf16 rounding of taps
+    assert g16.dtype == np.float32
+    np.testing.assert_allclose(g16, g32, atol=0.15, rtol=0.05)
+
+
+def _tall_data(rng, S=2, max_vshift=20.0):
+    """2*B distinct sources + per-(direction, scale, batch) smooth coords
+    with LARGE vertical flow (outside the windowed kernels' exactness
+    domain, inside the tall kernel's unlimited one)."""
+    B2 = 2 * B
+    src = jnp.asarray(rng.uniform(size=(B2, HS, WS, C)).astype(np.float32))
+    gx, gy = np.meshgrid(np.arange(WS, dtype=np.float32),
+                         np.arange(HS, dtype=np.float32), indexing="xy")
+    coords = []
+    for k in range(S * B2):
+        dx = 3.0 * np.sin(gy / HS * (2 + k))
+        dy = max_vshift * np.cos(gx / WS * (1 + 0.3 * k))
+        coords.append(np.stack([gx + dx, gy + dy], axis=-1))
+    return src, jnp.asarray(np.stack(coords).astype(np.float32))
+
+
+def _tall_tiled_src(src, S):
+    """Scale-tile the deduped sources into the warp-stack layout
+    [direction-major, scale, batch-minor] the tall kernel's coords use."""
+    B2 = src.shape[0]
+    b = B2 // 2
+    prev, nxt = src[:b], src[b:]
+    return jnp.concatenate(
+        [jnp.tile(prev, (S, 1, 1, 1)), jnp.tile(nxt, (S, 1, 1, 1))], axis=0
+    )
+
+
+def test_pallas_warp_tall_matches_xla_sampler(rng):
+    """Full-height kernel: exact vs the XLA sampler at vertical flows far
+    beyond the windowed kernels' domain, with deduped-source layout."""
+    from tpuslam.ops.pallas_warp import pallas_warp_tall
+
+    S = 2
+    src, coords = _tall_data(rng, S)
+    ours = np.asarray(pallas_warp_tall(src, coords, True, S))
+    ref = np.asarray(bilinear_sampler(_tall_tiled_src(src, S), coords))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_pallas_warp_tall_gradients_match(rng):
+    from tpuslam.ops.pallas_warp import pallas_warp_tall
+
+    S = 2
+    src, coords = _tall_data(rng, S)
+    tiled = _tall_tiled_src(src, S)
+
+    g_tall = np.asarray(jax.grad(
+        lambda c: (pallas_warp_tall(src, c, True, S) ** 2).sum()
+    )(coords))
+    g_xla = np.asarray(jax.grad(
+        lambda c: (bilinear_sampler(tiled, c) ** 2).sum()
+    )(coords))
+    np.testing.assert_allclose(g_tall, g_xla, atol=1e-4, rtol=1e-5)
+
+
+def test_pallas_warp_tall_bf16_out(rng):
+    from tpuslam.ops.pallas_warp import pallas_warp_tall
+
+    S = 2
+    src, coords = _tall_data(rng, S)
+    out16 = pallas_warp_tall(src, coords, True, S, True)
+    out32 = pallas_warp_tall(src, coords, True, S, False)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(out32), atol=5e-3
+    )
+
+
+def test_warp_and_loss_tall_matches_default(rng):
+    """pallas_tall through the production warp_and_loss: same losses and
+    gradients as the EXACT XLA sampler path (the windowed default clamps
+    vertical flows beyond its window; the tall kernel, like the XLA
+    sampler, does not — so the exact path is the right oracle)."""
+    from tpuslam.train import LossConfig, make_frame_batch
+    from tpuslam.train.steps import warp_and_loss
+
+    h, w, b = 48, 384, 2
+    scales = (0, 1)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = 0.58 * w; K[1, 1] = 1.92 * h; K[0, 2] = 0.5 * w; K[1, 2] = 0.5 * h
+    batch = make_frame_batch(
+        rng.uniform(size=(b, 3, h, w, 3)).astype(np.float32),
+        K,
+        rng.uniform(0.5, 2.0, size=(b, 2)).astype(np.float32),
+    )
+    disps = {
+        ("disp", s): jnp.asarray(
+            rng.uniform(0.2, 0.6, size=(b, h >> s, w >> s, 1)).astype(np.float32)
+        )
+        for s in scales
+    }
+    aa = jnp.asarray(0.01 * rng.normal(size=(2 * b, 3)).astype(np.float32))
+    tr = jnp.asarray(0.05 * rng.normal(size=(2 * b, 3)).astype(np.float32))
+
+    def loss(tall, d0):
+        cfg = LossConfig(scales=scales, pallas_extra_tiles=1,
+                         pallas_tall=tall, use_pallas_warp=tall)
+        losses, _ = warp_and_loss({**disps, ("disp", 0): d0}, aa, tr, batch,
+                                  cfg)
+        return losses["loss"]
+
+    l_def = float(loss(False, disps[("disp", 0)]))
+    l_tall = float(loss(True, disps[("disp", 0)]))
+    np.testing.assert_allclose(l_tall, l_def, rtol=1e-5)
+
+    g_def = np.asarray(jax.grad(lambda d: loss(False, d))(disps[("disp", 0)]))
+    g_tall = np.asarray(jax.grad(lambda d: loss(True, d))(disps[("disp", 0)]))
+    np.testing.assert_allclose(g_tall, g_def, atol=1e-6, rtol=1e-4)

@@ -106,6 +106,15 @@ class DepthPoseConfig:
     # to ~5e-6, gradient via in-kernel jax.vjp).  Opt-in pending
     # on-silicon measurement.
     pallas_fused_loss: bool = False
+    # `pallas_bf16_out` stores the fused warp kernel's outputs in bfloat16
+    # (math stays f32; halves their HBM traffic, <= ~4e-3 rounding on
+    # image data).  Opt-in pending a quality A/B.
+    pallas_bf16_out: bool = False
+    # `pallas_tall` uses the full-height column-stripe warp kernel: src
+    # windows DMA once per (image, stripe) (~20x less HBM src traffic),
+    # sources deduped across scales, unlimited vertical exactness.
+    # Opt-in pending on-silicon measurement.
+    pallas_tall: bool = False
     # Per-head online LR split (train/state.py make_adapt_optimizer): the
     # depth decoder adapts at learning_rate * adapt_depth_lr_scale, the pose
     # decoder at the full rate.  1.0 = reference-exact (both heads share one

@@ -680,8 +680,10 @@ def _warp_kernel_static_fused(src_win_ref, coords_ref, out_ref, dx_ref,
     the surrounding gradient graph.  Same raw taps, same f32 formulas as
     the non-fused kernels."""
     C = src_win_ref.shape[1]
+    # all sweep math is f32; a bf16 out_shape only changes the final store
+    odt = out_ref.dtype
     if group_skip:
-        zero = jnp.zeros((C, out_h, TILE_W), jnp.float32)
+        zero = jnp.zeros((C, out_h, TILE_W), odt)
         out_ref[0] = zero
         dx_ref[0] = zero
         dy_ref[0] = zero
@@ -691,13 +693,13 @@ def _warp_kernel_static_fused(src_win_ref, coords_ref, out_ref, dx_ref,
             bot = b0 * (1 - wx) + b1 * wx
             out_ref[0] = jnp.where(
                 group_hit, top * (1 - wy) + bot * wy, out_ref[0]
-            )
+            ).astype(odt)
             dx_ref[0] = jnp.where(
                 group_hit, (a1 - a0) * (1 - wy) + (b1 - b0) * wy, dx_ref[0]
-            )
+            ).astype(odt)
             dy_ref[0] = jnp.where(
                 group_hit, (b0 - a0) * (1 - wx) + (b1 - a1) * wx, dy_ref[0]
-            )
+            ).astype(odt)
 
         _groupskip_sweep(src_win_ref, coords_ref, H, W, out_h, extra_tiles,
                          emit)
@@ -707,9 +709,9 @@ def _warp_kernel_static_fused(src_win_ref, coords_ref, out_ref, dx_ref,
     )
     top = a0 * (1 - wx) + a1 * wx
     bot = b0 * (1 - wx) + b1 * wx
-    out_ref[0] = top * (1 - wy) + bot * wy
-    dx_ref[0] = (a1 - a0) * (1 - wy) + (b1 - b0) * wy
-    dy_ref[0] = (b0 - a0) * (1 - wx) + (b1 - a1) * wx
+    out_ref[0] = (top * (1 - wy) + bot * wy).astype(odt)
+    dx_ref[0] = ((a1 - a0) * (1 - wy) + (b1 - b0) * wy).astype(odt)
+    dy_ref[0] = ((b0 - a0) * (1 - wx) + (b1 - a1) * wx).astype(odt)
 
 
 def _static_specs(B, H, W, C, out_channels, out_h, extra_tiles=1):
@@ -836,8 +838,178 @@ def _static_bwd(interpret, extra_tiles, sparse, packed, seg_skip, group_skip,
 pallas_warp_static.defvjp(_static_fwd, _static_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Full-height column-stripe variant ("tall"): the src window is the WHOLE
+# image height x 384 cols, keyed only by (source image, column stripe) — so
+# with the scale grid dimension innermost the window DMA is issued once per
+# (image, stripe) instead of once per output tile.  At 192x640/batch 3 this
+# cuts the kernel's HBM src traffic ~20x vs the windowed kernel (whose
+# (40, 384) window per (8, 128) tile re-reads every byte ~15x), which the
+# analytic roofline says is THE residual blocking ~100 fps native
+# (utils/calibration.py).  Vertical exactness becomes UNLIMITED (any flow);
+# horizontal stays the same 128 px margin.  The sweep walks all H rows in
+# `group_rows`-row pl.when groups — only groups the block's vertical
+# footprint hits execute, so runtime work matches the windowed group-skip
+# sweep; the unrolled program is ~5x larger (compile-time cost only).
+# Fused-gradient only (stores dx/dy like pallas_warp_static_fused).
+#
+# Also deduplicates the SOURCE IMAGES themselves: callers pass the 2*B
+# distinct frames, not the 2*S*B scale-tiled stack — the S scales of one
+# (direction, batch) pair ride consecutive grid steps against the same
+# VMEM-resident window.
+# ---------------------------------------------------------------------------
+
+
+def _tall_specs(B2, S, B, H, W, C, out_h, n_out):
+    from jax.experimental.pallas import Element
+
+    def src_index(g0, j, i, s):
+        xs = jnp.clip(j - 1, 0, W // TILE_W - 3) * TILE_W
+        return (g0, 0, 0, xs)
+
+    def bp_index(g0, j, i, s):
+        fi = g0 // B
+        b = g0 % B
+        return ((fi * S + s) * B + b, 0, i, j)
+
+    out_spec = pl.BlockSpec((1, C, out_h, TILE_W), bp_index,
+                            memory_space=pltpu.VMEM)
+    return dict(
+        # s innermost, then i: every (i, s) step of one (image, stripe)
+        # reuses the src window DMA (Mosaic skips re-issuing a DMA whose
+        # block index is unchanged between consecutive grid steps)
+        grid=(B2, W // TILE_W, H // out_h, S),
+        in_specs=[
+            pl.BlockSpec(
+                (Element(1), Element(C), Element(H), Element(SWIN_W)),
+                src_index,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 2, out_h, TILE_W), bp_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec,) * n_out if n_out > 1 else out_spec,
+    )
+
+
+def _warp_kernel_tall(src_ref, coords_ref, out_ref, dx_ref, dy_ref, *, H, W,
+                      out_h, group_rows):
+    C = src_ref.shape[1]
+    j = pl.program_id(1)
+    xs = jnp.clip(j - 1, 0, W // TILE_W - 3) * TILE_W
+    x = jnp.clip(coords_ref[0, 0], 0.0, W - 1)
+    y = jnp.clip(coords_ref[0, 1], 0.0, H - 1)
+    x0 = jnp.minimum(jnp.floor(x), W - 2)
+    y0 = jnp.minimum(jnp.floor(y), H - 2)
+    wx = x - x0
+    wy = y - y0
+    xr = jnp.clip(x0.astype(jnp.int32) - xs, 0, SWIN_W - 2)
+    yr = y0.astype(jnp.int32)  # full-height window: window row == source row
+    xr1 = jnp.minimum(xr + 1, SWIN_W - 1)
+    odt = out_ref.dtype
+    zero = jnp.zeros((C, out_h, TILE_W), odt)
+    out_ref[0] = zero
+    dx_ref[0] = zero
+    dy_ref[0] = zero
+    for g0 in range(0, H - 1, group_rows):
+        g1 = min(g0 + group_rows, H - 1)
+        group_hit = (yr >= g0) & (yr < g1)
+
+        @pl.when(jnp.any(group_hit))
+        def _(g0=g0, g1=g1, group_hit=group_hit):
+            b0 = _row_gather_all_channels(src_ref, g0, xr, C)
+            b1 = _row_gather_all_channels(src_ref, g0, xr1, C)
+            A0 = A1 = B0 = B1 = jnp.zeros((C, out_h, TILE_W), jnp.float32)
+            for w in range(g0, g1):
+                a0, a1 = b0, b1
+                b0 = _row_gather_all_channels(src_ref, w + 1, xr, C)
+                b1 = _row_gather_all_channels(src_ref, w + 1, xr1, C)
+                hit = yr == w
+                A0 = jnp.where(hit, a0, A0)
+                A1 = jnp.where(hit, a1, A1)
+                B0 = jnp.where(hit, b0, B0)
+                B1 = jnp.where(hit, b1, B1)
+            top = A0 * (1 - wx) + A1 * wx
+            bot = B0 * (1 - wx) + B1 * wx
+            out_ref[0] = jnp.where(
+                group_hit, top * (1 - wy) + bot * wy, out_ref[0]
+            ).astype(odt)
+            dx_ref[0] = jnp.where(
+                group_hit, (A1 - A0) * (1 - wy) + (B1 - B0) * wy, dx_ref[0]
+            ).astype(odt)
+            dy_ref[0] = jnp.where(
+                group_hit, (B0 - A0) * (1 - wx) + (B1 - A1) * wx, dy_ref[0]
+            ).astype(odt)
+
+
+def _pallas_warp_tall_impl(src, coords, interpret, S, bf16_out, group_rows):
+    B2, H, W, C = src.shape
+    N = coords.shape[0]
+    assert N == S * B2, (N, S, B2)
+    B = B2 // 2
+    assert H % TILE_H == 0 and W % TILE_W == 0 and W >= SWIN_W, (H, W)
+    out_h = _pick_out_h(H)
+    spec = _tall_specs(B2, S, B, H, W, C, out_h, 3)
+    dtype = jnp.bfloat16 if bf16_out else jnp.float32
+    shape = jax.ShapeDtypeStruct((N, C, H, W), dtype)
+    kernel = partial(_warp_kernel_tall, H=H, W=W, out_h=out_h,
+                     group_rows=group_rows)
+    out, dx, dy = pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+        **spec,
+    )(src.transpose(0, 3, 1, 2), coords.transpose(0, 3, 1, 2))
+    return (out.transpose(0, 2, 3, 1), dx.transpose(0, 2, 3, 1),
+            dy.transpose(0, 2, 3, 1))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def pallas_warp_tall(src: jax.Array, coords: jax.Array,
+                     interpret: bool = False, S: int = 4,
+                     bf16_out: bool = False, group_rows: int = 2 * TILE_H):
+    """Full-height column-stripe warp with deduplicated sources.
+
+    src: (2*B, H, W, C) — the DISTINCT source frames [frame -1 of each
+    batch row; frame +1 of each batch row], NOT scale-tiled.  coords:
+    (2*S*B, H, W, 2) in the train/steps.py warp-stack order
+    [direction-major, scale, batch-minor].  Returns the (2*S*B, H, W, C)
+    warped stack of that order.  Exact for ANY vertical displacement and
+    horizontal displacements within 128 px of the output tile (the
+    windowed kernels clamp vertically at ~8*extra_tiles px).  Gradient is
+    fused (tap differentials stored at forward time, elementwise VJP).
+    `bf16_out` stores the three outputs as bfloat16 (math stays f32)."""
+    out, _, _ = _pallas_warp_tall_impl(src, coords, interpret, S, bf16_out,
+                                       group_rows)
+    return out
+
+
+def _tall_fwd(src, coords, interpret, S, bf16_out, group_rows):
+    out, dx, dy = _pallas_warp_tall_impl(src, coords, interpret, S, bf16_out,
+                                         group_rows)
+    return out, (src, coords, dx, dy)
+
+
+def _tall_bwd(interpret, S, bf16_out, group_rows, residuals, g):
+    src, coords, dx, dy = residuals
+    H, W = src.shape[1], src.shape[2]
+
+    def live(v, hi):
+        inside = ((v > 0.0) & (v < hi)).astype(jnp.float32)
+        tie = ((v == 0.0) | (v == hi)).astype(jnp.float32)
+        return inside + 0.5 * tie
+
+    gf = g.astype(jnp.float32)
+    ddx = (gf * dx).sum(axis=-1) * live(coords[..., 0], W - 1)
+    ddy = (gf * dy).sum(axis=-1) * live(coords[..., 1], H - 1)
+    return jnp.zeros_like(src), jnp.stack([ddx, ddy], axis=-1)
+
+
+pallas_warp_tall.defvjp(_tall_fwd, _tall_bwd)
+
+
 def _pallas_warp_static_fused_impl(src, coords, interpret, extra_tiles,
-                                   group_skip):
+                                   group_skip, bf16_out=False):
     B, H, W, C = src.shape
     assert H % TILE_H == 0 and W % TILE_W == 0, (H, W)
     out_h = _pick_out_h(H)
@@ -846,7 +1018,8 @@ def _pallas_warp_static_fused_impl(src, coords, interpret, extra_tiles,
     out_spec = spec.pop("out_specs")
     kernel = partial(_warp_kernel_static_fused, H=H, W=W, out_h=out_h,
                      extra_tiles=extra_tiles, group_skip=group_skip)
-    shape = jax.ShapeDtypeStruct((B, C, H, W), jnp.float32)
+    dtype = jnp.bfloat16 if bf16_out else jnp.float32
+    shape = jax.ShapeDtypeStruct((B, C, H, W), dtype)
     out, dx, dy = pl.pallas_call(
         kernel,
         out_shape=(shape, shape, shape),
@@ -858,10 +1031,10 @@ def _pallas_warp_static_fused_impl(src, coords, interpret, extra_tiles,
             dy.transpose(0, 2, 3, 1))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def pallas_warp_static_fused(src: jax.Array, coords: jax.Array,
                              interpret: bool = False, extra_tiles: int = 1,
-                             group_skip: bool = True):
+                             group_skip: bool = True, bf16_out: bool = False):
     """Static-window warp with a FUSED gradient: under `jax.grad` the
     forward kernel additionally stores the per-channel tap differentials
     d(out)/dx, d(out)/dy, so the VJP is a plain elementwise contraction
@@ -870,19 +1043,27 @@ def pallas_warp_static_fused(src: jax.Array, coords: jax.Array,
     single-output kernel.  Value- and gradient-identical to
     `pallas_warp_static(..., group_skip=group_skip)` up to FMA contraction;
     same exactness window.  f32-tap paths only (dense raw-tap select or
-    group_skip); use `pallas_warp_static` for packed/seg_skip/sparse."""
-    return _pallas_warp_static_impl(src, coords, interpret, extra_tiles,
-                                    False, False, False, group_skip)
+    group_skip); use `pallas_warp_static` for packed/seg_skip/sparse.
+
+    `bf16_out=True` STORES the warped image and the two tap differentials
+    as bfloat16 (all in-kernel math stays f32): halves the kernel's HBM
+    write traffic and every downstream read of them — the warped stack is
+    pure loss input, and the loss math upcasts.  Value error is bf16
+    rounding of [0, 1] image data (<= ~4e-3 relative); opt-in pending a
+    quality A/B on the target silicon."""
+    out = _pallas_warp_static_impl(src, coords, interpret, extra_tiles,
+                                   False, False, False, group_skip)
+    return out.astype(jnp.bfloat16) if bf16_out else out
 
 
-def _fused_fwd(src, coords, interpret, extra_tiles, group_skip):
+def _fused_fwd(src, coords, interpret, extra_tiles, group_skip, bf16_out):
     out, dx, dy = _pallas_warp_static_fused_impl(
-        src, coords, interpret, extra_tiles, group_skip
+        src, coords, interpret, extra_tiles, group_skip, bf16_out
     )
     return out, (src, coords, dx, dy)
 
 
-def _fused_bwd(interpret, extra_tiles, group_skip, residuals, g):
+def _fused_bwd(interpret, extra_tiles, group_skip, bf16_out, residuals, g):
     src, coords, dx, dy = residuals
     H, W = src.shape[1], src.shape[2]
 

@@ -88,6 +88,8 @@ class DepthPosePrediction:
             pallas_group_skip=getattr(config, "pallas_group_skip", True),
             pallas_fused_grad=getattr(config, "pallas_fused_grad", True),
             pallas_fused_loss=getattr(config, "pallas_fused_loss", False),
+            pallas_bf16_out=getattr(config, "pallas_bf16_out", False),
+            pallas_tall=getattr(config, "pallas_tall", False),
             pallas_extra_tiles=getattr(config, "pallas_extra_tiles", 2),
         )
         self.tx = make_adapt_optimizer(

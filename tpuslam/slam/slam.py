@@ -208,6 +208,8 @@ class Slam:
             pallas_group_skip=getattr(pc, "pallas_group_skip", True),
             pallas_fused_grad=getattr(pc, "pallas_fused_grad", True),
             pallas_fused_loss=getattr(pc, "pallas_fused_loss", False),
+            pallas_bf16_out=getattr(pc, "pallas_bf16_out", False),
+            pallas_tall=getattr(pc, "pallas_tall", False),
             pallas_extra_tiles=getattr(pc, "pallas_extra_tiles", 2),
         )
 

@@ -123,6 +123,22 @@ class LossConfig(NamedTuple):
     # <= ~5e-6; backward recomputes under in-kernel jax.vjp (gradient-
     # identical).  Opt-in until measured on the target silicon.
     pallas_fused_loss: bool = False
+    # `pallas_bf16_out` stores the fused warp kernel's outputs (warped
+    # image + the two tap differentials) as bfloat16 — in-kernel math and
+    # the VJP contraction stay f32, so this only halves the HBM bytes of
+    # arrays that are pure loss inputs (<= ~4e-3 relative rounding on
+    # [0, 1] image data).  Opt-in pending an on-silicon quality A/B.
+    pallas_bf16_out: bool = False
+    # `pallas_tall` switches to the full-height column-stripe warp kernel
+    # (ops/pallas_warp.py::pallas_warp_tall): the src window is DMA'd once
+    # per (source image, column stripe) instead of once per output tile —
+    # ~20x less HBM src traffic, the residual the analytic roofline says
+    # blocks ~100 fps native — sources are deduplicated across scales, and
+    # vertical exactness becomes unlimited (any flow; the windowed kernels
+    # clamp at ~8*extra_tiles px).  Fused gradient; composes with
+    # pallas_bf16_out.  Takes precedence over every other warp variant.
+    # Opt-in pending on-silicon measurement (larger unrolled program).
+    pallas_tall: bool = False
     # Anti-collapse log-mean-disparity prior (losses/photometric.py) for
     # low-parallax pretraining; 0 disables.  The Pretrainer activates it for
     # the first `scale_prior_epochs` epochs only.  The target is a metric
@@ -245,24 +261,35 @@ def warp_and_loss(
     # gather traffic — see bilinear_sampler); measured on the dev relay the
     # extra convert pass makes it ~9% slower there, so the f32 path stays
     # default until real-silicon numbers say otherwise (BASELINE.md).
-    src = jnp.concatenate(
-        [tile(batch.frame(-1), S), tile(batch.frame(1), S)], axis=0
-    )
     min_h = 8 + 16 * cfg.pallas_extra_tiles
-    if cfg.use_pallas_warp and H % 8 == 0 and W % 128 == 0 and H >= min_h and W >= 384:
+    interpret = jax.default_backend() != "tpu"
+    if (cfg.use_pallas_warp and cfg.pallas_tall and H % 8 == 0
+            and W % 128 == 0 and W >= 384):
+        from tpuslam.ops.pallas_warp import pallas_warp_tall
+
+        # deduped sources: the tall kernel scale-tiles in VMEM
+        src2 = jnp.concatenate([batch.frame(-1), batch.frame(1)], axis=0)
+        warped = pallas_warp_tall(
+            src2, coords, interpret, S, cfg.pallas_bf16_out
+        )
+    elif (cfg.use_pallas_warp and H % 8 == 0 and W % 128 == 0
+            and H >= min_h and W >= 384):
         from tpuslam.ops.pallas_warp import (pallas_warp_static,
                                              pallas_warp_static_fused)
 
+        src = jnp.concatenate(
+            [tile(batch.frame(-1), S), tile(batch.frame(1), S)], axis=0
+        )
         # interpret mode off TPU (pallas compiles natively only there)
         # group_skip/fused_grad default ON; an explicitly-requested
         # packed/seg_skip/sparse variant takes precedence over both
-        interpret = jax.default_backend() != "tpu"
         explicit = (cfg.pallas_packed or cfg.pallas_seg_skip
                     or cfg.pallas_sparse)
         group_skip = cfg.pallas_group_skip and not explicit
         if cfg.pallas_fused_grad and not explicit:
             warped = pallas_warp_static_fused(
-                src, coords, interpret, cfg.pallas_extra_tiles, group_skip
+                src, coords, interpret, cfg.pallas_extra_tiles, group_skip,
+                cfg.pallas_bf16_out,
             )
         else:
             warped = pallas_warp_static(
@@ -271,6 +298,9 @@ def warp_and_loss(
                 cfg.pallas_seg_skip, group_skip,
             )
     else:
+        src = jnp.concatenate(
+            [tile(batch.frame(-1), S), tile(batch.frame(1), S)], axis=0
+        )
         warped = bilinear_sampler(src, coords)
     for fi, f in enumerate((-1, 1)):
         for si, s in enumerate(cfg.scales):

@@ -177,6 +177,36 @@ def calibrate(
 
         return jax.value_and_grad(f)(coords)
 
+    from tpuslam.ops.pallas_warp import (pallas_warp_static_fused,
+                                         pallas_warp_tall)
+
+    def warp_pallas_fused_fb(src, coords):
+        def f(c):
+            return pallas_warp_static_fused(src, c, interpret, 2, True).sum()
+
+        return jax.value_and_grad(f)(coords)
+
+    src2 = src[: 2 * B]  # deduped sources for the tall kernel
+
+    def warp_tall_fb(src2, coords):
+        def f(c):
+            return pallas_warp_tall(src2, c, interpret, 4).sum()
+
+        return jax.value_and_grad(f)(coords)
+
+    # fused reprojection-error kernel at the real warp-stack shape
+    from tpuslam.ops.pallas_loss import pallas_reproj_err
+
+    loss_target = jnp.asarray(
+        rng.uniform(size=(B, H, W, 3)).astype(np.float32)
+    )
+
+    def loss_pallas_fb(preds, target):
+        def f(p):
+            return pallas_reproj_err(p, target, interpret).sum()
+
+        return jax.value_and_grad(f)(preds)
+
     # loss fwd+bwd alone (warped preds given): the non-warp, non-conv slice
     # of the per-iteration cost — sizes the fused-loss-kernel opportunity
     from tpuslam.losses.photometric import total_loss
@@ -235,6 +265,12 @@ def calibrate(
          (src, coords), PEAK_FLOPS_F32),
         ("warp_pallas_segskip_fwd_bwd", jax.jit(warp_pallas_segskip_fb),
          (src, coords), PEAK_FLOPS_F32),
+        ("warp_pallas_fused_fwd_bwd", jax.jit(warp_pallas_fused_fb),
+         (src, coords), PEAK_FLOPS_F32),
+        ("warp_tall_fwd_bwd", jax.jit(warp_tall_fb),
+         (src2, coords), PEAK_FLOPS_F32),
+        ("loss_pallas_fwd_bwd", jax.jit(loss_pallas_fb),
+         (src, loss_target), PEAK_FLOPS_F32),
         ("warp_xla_fwd_bwd", jax.jit(warp_xla_fb), (src, coords), PEAK_FLOPS_F32),
         ("adam_update", jax.jit(adam), (state.opt_state, grads, params), PEAK_FLOPS_F32),
     ]
@@ -273,7 +309,9 @@ def calibrate(
 
 
 def analytic_bytes(height: int = 192, width: int = 640, batch: int = 3,
-                   scales: int = 4, dtype_bytes: int = 4) -> Dict[str, float]:
+                   scales: int = 4, dtype_bytes: int = 4,
+                   extra_tiles: int = 2, out_dtype_bytes: int = 4,
+                   ) -> Dict[str, float]:
     """Analytic FUSED HBM traffic per op class (bytes), assuming XLA fuses
     elementwise chains so only stage inputs/outputs/weights round-trip HBM.
 
@@ -285,8 +323,18 @@ def analytic_bytes(height: int = 192, width: int = 640, batch: int = 3,
     for the loss, and 4x params (p, g, m, v read + write) for Adam.  True
     traffic sits between this bound and ~2x of it (imperfect fusion,
     padding); the roofline in BASELINE.md uses it with a 40% efficiency
-    assumption."""
+    assumption.
+
+    Round-4 honesty fix: the WINDOWED Pallas warp kernels DMA a
+    (out_h + 16*extra_tiles, 384) source window per (8, 128) output tile —
+    a ~15x read amplification of the source stack at the shipped
+    extra_tiles=2 that earlier inventories omitted.  That amplified window
+    traffic (~530 MB/iter at 192x640 batch 3), not gather arithmetic, is
+    what bounds the windowed kernel natively; the `warp_tall` class keys
+    the window by (image, column stripe) instead (~26 MB) and dedups the
+    scale-tiled sources.  `out_dtype_bytes=2` models `pallas_bf16_out`."""
     B, H, W, D = batch, height, width, dtype_bytes
+    OD = out_dtype_bytes
     img = H * W * 3 * D
 
     def resnet18_acts(h, w, b):
@@ -319,23 +367,61 @@ def analytic_bytes(height: int = 192, width: int = 640, batch: int = 3,
     pose_dec = B * (H // 32) * (W // 32) * 256 * 6 * D + 1.6e6 * D
 
     maps = 2 * scales * B                                 # warped full-res maps
-    warp = maps * (2 * img + H * W * 2 * D)               # src+out+coords
-    # loss: 8 pred reads + 8 target reads + identity (2) + per-pixel loss
-    # surfaces fwd/bwd (~3x input traffic for SSIM stats + min/automask)
+    coords = maps * H * W * 2 * D                         # f32 pixel coords
+    out_img = H * W * 3 * OD                              # stored warp outputs
+
+    # windowed kernels: source window DMA per (8, 128) output tile
+    out_h = 8
+    win_ampl = (out_h + 16 * extra_tiles) * 384 / (out_h * 128)
+    src_windows = maps * img * win_ampl
+    # full-height stripe kernel: one (H, 384) window per (source image,
+    # column stripe); sources deduped to the 2B distinct frames
+    src_stripes = 2 * B * (W // 128) * (H * 384 * 3 * D)
+
+    # two-kernel windowed path: fwd (windows+coords+out) + bwd kernel
+    # (windows+coords again + incoming g + dcoords out)
+    warp_two = (src_windows + coords + maps * out_img) + (
+        src_windows + coords + maps * out_img + coords
+    )
+    # fused-grad windowed: fwd stores out+dx+dy; VJP is an XLA contraction
+    # reading dx, dy, g(=dpred) and writing dcoords — no second sweep
+    warp_fused = (src_windows + coords + 3 * maps * out_img) + (
+        2 * maps * out_img + maps * out_img + coords
+    )
+    # tall fused: stripe windows replace the amplified tile windows
+    warp_tall = (src_stripes + coords + 3 * maps * out_img) + (
+        2 * maps * out_img + maps * out_img + coords
+    )
+
+    # XLA loss: 8 pred reads + 8 target reads + identity (2) + per-pixel
+    # loss surfaces fwd/bwd (~3x input traffic for SSIM stats + automask)
     loss = 3 * (maps + 2) * img + maps * H * W * D
-    iter_fb = 2.2 * (dec + pose_dec) + warp * 2 + loss    # bwd ~1.2x fwd convs
+    # fused loss kernel: preds read once (fwd + bwd recompute), targets
+    # DMA'd once per batch row each pass, err maps + g + dpred
+    loss_fused = (maps * out_img + B * img + maps * H * W * 4) + (
+        maps * out_img + B * img + maps * H * W * 4 + maps * out_img
+    )
+
+    iter_fb = 2.2 * (dec + pose_dec) + warp_two + loss    # bwd ~1.2x fwd convs
     adam = 4 * 2 * (3.2e6 + 1.6e6) * D                    # m,v,p,g r/w decoder tree
     return {
         "encoder_fwd": encoders,
         "decoder_fwd": dec + pose_dec,
         "iter_fwd_bwd": iter_fb,
-        "warp_pallas_fwd_bwd": warp * 2,
+        "warp_pallas_fwd_bwd": warp_two,
         # the packed/seg-skip variants move the SAME bytes — they cut
         # in-register gather work, not HBM traffic
-        "warp_pallas_packed_fwd_bwd": warp * 2,
-        "warp_pallas_segskip_fwd_bwd": warp * 2,
+        "warp_pallas_packed_fwd_bwd": warp_two,
+        "warp_pallas_segskip_fwd_bwd": warp_two,
+        "warp_pallas_fused_fwd_bwd": warp_fused,
+        "warp_tall_fwd_bwd": warp_tall,
         "loss_fwd_bwd": loss,
+        "loss_pallas_fwd_bwd": loss_fused,
         "adam_update": adam,
+        # supporting XLA stages of the fused pipeline (for the composed
+        # projection): coordinate production fwd+bwd, min-mask/smoothness
+        "coords_fwd_bwd": 4 * (scales * B * H * W * (1 + 3 + 2) * D),
+        "mask_smooth": 3 * maps * H * W * 4 + 2 * B * img,
     }
 
 
@@ -359,6 +445,73 @@ def project_native_fps(rows: List[Dict], adapt_iters: int = 5) -> Dict[str, floa
     }
 
 
+# measured adapt-step conv FLOP counts at 192x640 batch 3 (BASELINE.md
+# round-3 calibration table) — used by the analytic fused-pipeline
+# projection when no measurement rows are available
+_ENCODER_GFLOPS = 86.8
+_DECODER_GFLOPS = 26.0
+
+
+def project_native_fps_fused(
+    adapt_iters: int = 5,
+    bf16: bool = True,
+    mxu_eff: float = 0.45,
+    hbm_eff: float = 0.7,
+    height: int = 192,
+    width: int = 640,
+    batch: int = 3,
+) -> Dict[str, float]:
+    """Analytic native-v5e projection for the ROUND-4 FUSED PIPELINE:
+    tall column-stripe warp (deduped sources, fused gradient) + fused VMEM
+    reprojection-error kernel + bf16 stored warp outputs + bf16 convs.
+
+    Composed per frame as encoders + K * (decoders fwd/bwd + warp_tall +
+    fused loss + coordinate production + mask/smoothness + Adam), each
+    stage at max(FLOPs / MXU peak / mxu_eff, bytes / HBM peak / hbm_eff).
+    Efficiency is PER CLASS: conv stages sustain ~40-50% of MXU peak
+    (dominated by small spatial tiles and layer switches); the pallas /
+    elementwise stages are long sequential HBM streams that sustain
+    ~65-75% of bandwidth.  `bf16` halves conv ACTIVATION traffic too (the
+    shipped bf16-conv default stores bf16 activations), not just compute.
+
+    This is the roofline the round-4 kernels were built against: the
+    windowed kernel's ~15x source-window amplification (the previous
+    ~530 MB/iter residual) is gone and the loss slice no longer
+    materialises pooled SSIM moments.  Conservative bracket = mxu_eff 0.4
+    / hbm_eff 0.55; expected = 0.45 / 0.7."""
+    ana = analytic_bytes(height, width, batch, 4,
+                         out_dtype_bytes=2 if bf16 else 4)
+    peak = PEAK_FLOPS_BF16 if bf16 else PEAK_FLOPS_F32
+    act = 0.5 if bf16 else 1.0  # bf16 convs store bf16 activations
+
+    def hbm_ms(name):
+        return ana[name] / PEAK_HBM_GBS * 1e3 / hbm_eff
+
+    enc_ms = max(_ENCODER_GFLOPS * 1e9 / peak * 1e3 / mxu_eff,
+                 act * ana["encoder_fwd"] / PEAK_HBM_GBS * 1e3 / hbm_eff)
+    dec_ms = max(_DECODER_GFLOPS * 2.2 * 1e9 / peak * 1e3 / mxu_eff,
+                 act * ana["decoder_fwd"] * 2.2 / PEAK_HBM_GBS * 1e3 / hbm_eff)
+    parts = {
+        "dec": dec_ms,
+        "warp": hbm_ms("warp_tall_fwd_bwd"),
+        "loss": hbm_ms("loss_pallas_fwd_bwd"),
+        "coords": hbm_ms("coords_fwd_bwd"),
+        "mask_smooth": hbm_ms("mask_smooth"),
+        "adam": hbm_ms("adam_update"),
+    }
+    per_iter = sum(parts.values())
+    frame_ms = enc_ms + adapt_iters * per_iter
+    return {
+        "fused_proj_fixed_ms": round(enc_ms, 3),
+        "fused_proj_per_iter_ms": round(per_iter, 3),
+        "fused_proj_parts_ms": {k: round(v, 3) for k, v in parts.items()},
+        "fused_proj_frame_ms": round(frame_ms, 3),
+        "fused_proj_fps": round(1e3 / frame_ms, 1),
+        "fused_proj_dtype": "bf16" if bf16 else "f32",
+        "fused_proj_eff": (mxu_eff, hbm_eff),
+    }
+
+
 def main() -> None:
     rows = calibrate()
     header = ("class", "measured_ms", "gflops", "xla_gbytes_ub", "ana_gbytes",
@@ -369,6 +522,10 @@ def main() -> None:
     proj = project_native_fps(rows)
     for k, v in proj.items():
         print(f"{k}: {v}")
+    for bf16 in (False, True):
+        for mxu, hbm in ((0.4, 0.55), (0.45, 0.7)):
+            print(project_native_fps_fused(bf16=bf16, mxu_eff=mxu,
+                                           hbm_eff=hbm))
 
 
 if __name__ == "__main__":
