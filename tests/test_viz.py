@@ -103,3 +103,26 @@ def test_save_prediction_panels(tmp_path):
     # without optional rows
     paths2, strip2 = save_prediction_panels(rgbs[:1], depths[:1], [7], folder)
     assert paths2[0].name == "00007.png" and strip2 is not None
+
+
+def test_show_images_batch_debugger(tmp_path):
+    """show_images (reference datasets/utils.py:287-307 analog) renders a
+    samples x frames grid from a FrameBatch, both raw and augmented."""
+    import numpy as np
+
+    from tpuslam.train.batch import make_frame_batch
+    from tpuslam.viz.plots import show_images
+
+    rng = np.random.default_rng(0)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 32.0; K[0, 2] = 32.0; K[1, 2] = 16.0
+    batch = make_frame_batch(
+        rng.uniform(size=(2, 3, 32, 64, 3)).astype(np.float32),
+        K,
+        rng.uniform(0.5, 2.0, size=(2, 2)).astype(np.float32),
+        rgb_aug=rng.uniform(size=(2, 3, 32, 64, 3)).astype(np.float32),
+    )
+    out = show_images(batch, tmp_path / "dbg.png")
+    assert (tmp_path / "dbg.png").exists()
+    out_aug = show_images(batch, tmp_path / "dbg_aug.png", augmented=True)
+    assert (tmp_path / "dbg_aug.png").exists()

@@ -34,10 +34,19 @@ print('relay OK', float((jnp.ones((256,256))@jnp.ones((256,256)))[0,0]))
 done
 [ -n "$probe_ok" ] || { echo "RELAY STILL DOWN" | tee -a "$out"; exit 1; }
 
-# 1. headline bench: default, packed, seg-skip (same session, comparable)
-run python bench.py
-run python bench.py --packed
-run python bench.py --seg-skip
+# 1. headline bench A/Bs (same session, comparable).  Round-4 priority
+# order: shipped defaults first (the fused-grad default shipped UNMEASURED
+# in round 3 — VERDICT r3 weak #3), then each round-4 kernel knob, then
+# the round-3 leftovers.  --e2e-frames 0 keeps the kernel A/Bs pure
+# device-path; the pipeline A/Bs in section 4 cover e2e.
+run python bench.py                                  # shipped defaults (+e2e line)
+run python bench.py --no-fused-grad --e2e-frames 0   # r3 unmeasured default A/B
+run python bench.py --tall --e2e-frames 0            # full-height stripe kernel
+run python bench.py --tall --bf16-out --e2e-frames 0
+run python bench.py --tall --bf16-out --fused-loss --e2e-frames 0
+run python bench.py --fused-loss --e2e-frames 0      # fused loss on windowed warp
+run python bench.py --bf16-out --e2e-frames 0
+run python bench.py --extra-tiles 1 --e2e-frames 0   # r3 speed ceiling ref
 
 # 2. sync-latency probe (pins the per-frame readback RTT)
 run python -c "
@@ -56,6 +65,8 @@ if [ "${1:-}" != "quick" ]; then
       --max-steps 40 --no-progress --pipeline-depth 3
   # 5. warp-variant quality A/B (rung 2, random init)
   run python -m tpuslam.cli.rungs --rungs 2 --frames 30 --warp seg_skip
+  # 6. round-4 quality A/B: tall warp + fused loss + bf16 out vs default
+  run python -m tpuslam.cli.rungs --rungs 2 --frames 30 --warp tall
 fi
 
 echo "DONE -> $out"

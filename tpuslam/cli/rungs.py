@@ -99,11 +99,12 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--warp", default=None,
-        choices=["dense", "packed", "seg_skip", "group_skip"],
+        choices=["dense", "packed", "seg_skip", "group_skip", "tall"],
         help="pallas warp gather variant override (quality/speed A/B): "
              "dense f32 taps (default), bf16 packed dual-taps, packed + "
-             "per-segment sweep predication, or tap-identical vertical "
-             "group-predicated sweep",
+             "per-segment sweep predication, tap-identical vertical "
+             "group-predicated sweep, or the round-4 full-height stripe "
+             "kernel with fused loss + bf16 stored outputs",
     )
     args = ap.parse_args(argv)
     which = {int(r) for r in args.rungs.split(",")}
@@ -124,6 +125,12 @@ def main(argv=None) -> int:
         elif args.warp == "dense":
             # group_skip defaults ON — "dense" must actually disable it
             warp_kwargs["pallas_group_skip"] = False
+        elif args.warp == "tall":
+            # the full round-4 fused pipeline (quality side of the bench
+            # --tall --bf16-out --fused-loss A/B)
+            warp_kwargs["pallas_tall"] = True
+            warp_kwargs["pallas_bf16_out"] = True
+            warp_kwargs["pallas_fused_loss"] = True
         cfg.depth_pose = DepthPoseConfig(
             batch_size=batch_size, scales=(0, 1, 2, 3), max_depth=80.0,
             log_path=args.log / tag, load_weights_folder=args.weights,

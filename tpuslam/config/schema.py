@@ -27,6 +27,11 @@ class DatasetConfig:
     num_frames: int = 128
     trajectory: str = "curve"
     speed: float = 1.0  # meters / frame along the trajectory
+    # LiDAR-like sparse GT depth (KITTI-geometry dress rehearsal): the
+    # synthetic gt-depth maps carry a fixed 64-beam projection validity
+    # pattern (~5-8% density, rows below the horizon only, 0 = invalid)
+    # so the metric path sees real-KITTI gt sparsity end-to-end.
+    sparse_depth: bool = False
     config_file: Optional[Path] = None
 
 

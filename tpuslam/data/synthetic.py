@@ -109,6 +109,26 @@ def make_trajectory(
     return np.stack(poses)
 
 
+def _lidar_beam_mask(H: int, W: int, seed: int) -> np.ndarray:
+    """64-beam projected-scan validity pattern, fixed per dataset.
+
+    Mimics the projected velodyne gt of real KITTI depth maps: beams land
+    on rows from just below the horizon to the image bottom (denser near
+    the horizon, like equal-angle beams projected on the ground plane),
+    each hit along ~55% of columns — overall ~5-8% valid pixels."""
+    rng = np.random.default_rng(seed + 97)
+    mask = np.zeros((H, W), bool)
+    horizon = int(H * 0.45)
+    # beam rows can collide after projection; cap at every-other-row so
+    # the overall density lands at real KITTI's ~5-9% valid pixels
+    beams = min(64, (H - 1 - horizon) // 2)
+    for b in range(beams):
+        frac = (b / max(beams - 1, 1)) ** 1.5
+        r = min(horizon + int(frac * (H - 1 - horizon)), H - 1)
+        mask[r, rng.random(W) < 0.35] = True
+    return mask
+
+
 class SyntheticDataset:
     """Drop-in data source with the same sample contract as Kitti."""
 
@@ -122,6 +142,7 @@ class SyntheticDataset:
         seed: int = 0,
         do_augmentation: bool = False,
         noise: float = 0.0,
+        sparse_depth: bool = False,
     ):
         self.height = height
         self.width = width
@@ -129,6 +150,16 @@ class SyntheticDataset:
         self.seed = seed
         self.do_augmentation = do_augmentation
         self.K = scale_intrinsics(KITTI_NORMALIZED_K, height, width)
+        # LiDAR-like GT sparsity (KITTI dress rehearsal): real KITTI gt
+        # depth is the projected velodyne scan — ~5-8% of pixels valid,
+        # below the horizon only, 0 = invalid (datasets/kitti.py depth
+        # maps).  A fixed per-dataset beam pattern reproduces that
+        # density/row structure so the eval path (calc_depth_error's
+        # gt > min_depth mask, median scaling over sparse pixels) is
+        # exercised at real sparsity.
+        self._depth_mask = (
+            _lidar_beam_mask(height, width, seed) if sparse_depth else None
+        )
         self.inv_K33 = np.linalg.inv(self.K[:3, :3])
         # one extra pose on each side so every center frame has neighbours
         self.global_poses = make_trajectory(num_frames + 2, trajectory, speed, seed)
@@ -205,6 +236,10 @@ class SyntheticDataset:
             frames.append(img)
             if off == 0:
                 depth0 = depth
+                if self._depth_mask is not None:
+                    depth0 = np.where(self._depth_mask, depth0, 0.0).astype(
+                        np.float32
+                    )
         rgb = np.stack(frames)
         rgb_aug = None
         if self.do_augmentation:

@@ -134,6 +134,7 @@ class Slam:
                 width=dc.width,
                 trajectory=dc.trajectory,
                 speed=dc.speed,
+                sparse_depth=getattr(dc, "sparse_depth", False),
             )
         else:
             raise ValueError(f"unsupported dataset type {dc.dataset}")
