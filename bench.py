@@ -93,6 +93,11 @@ def main() -> None:
                     default=False,
                     help="pallas_bf16_out: store the fused warp kernel's "
                          "outputs (warped + tap differentials) as bfloat16")
+    ap.add_argument("--fused-bwd", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="pallas_fused_bwd (with --tall --fused-loss): one "
+                         "backward kernel contracts dpred with the tap "
+                         "differentials in VMEM — no dpred HBM round trip")
     ap.add_argument("--fused-loss", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="pallas_fused_loss: per-pixel SSIM+L1 error maps "
@@ -130,6 +135,7 @@ def main() -> None:
     overrides["pallas_fused_loss"] = args.fused_loss
     overrides["pallas_bf16_out"] = args.bf16_out
     overrides["pallas_tall"] = args.tall
+    overrides["pallas_fused_bwd"] = args.fused_bwd
     cfg = LossConfig(scales=(0, 1, 2, 3), min_depth=0.1, max_depth=None,
                      **overrides)  # pallas warp on by default
     tx = make_adapt_optimizer(variables["params"], 1e-4)

@@ -120,6 +120,11 @@ class DepthPoseConfig:
     # sources deduped across scales, unlimited vertical exactness.
     # Opt-in pending on-silicon measurement.
     pallas_tall: bool = False
+    # `pallas_fused_bwd` (with pallas_tall + pallas_fused_loss): one fused
+    # backward kernel contracts d(err)/d(pred) with the warp tap
+    # differentials in VMEM — the dpred stack never round-trips HBM.
+    # Gradient-identical; opt-in pending on-silicon measurement.
+    pallas_fused_bwd: bool = False
     # Per-head online LR split (train/state.py make_adapt_optimizer): the
     # depth decoder adapts at learning_rate * adapt_depth_lr_scale, the pose
     # decoder at the full rate.  1.0 = reference-exact (both heads share one

@@ -1,0 +1,144 @@
+"""Composite warp -> reprojection-error op with a FUSED backward.
+
+Why: with `pallas_tall` + `pallas_fused_loss` the adaptation step's
+backward still round-trips d(err)/d(pred) through HBM — the loss bwd
+kernel (ops/pallas_loss.py) writes the (N, C, H, W) f32 dpred stack
+(~35 MB/iter at 192x640 batch 3) and an XLA contraction re-reads it plus
+the two tap-differential stacks to produce dcoords.  That round trip is
+pure glue: dpred is consumed by exactly one elementwise contraction.
+This module fuses the two — ONE backward kernel recomputes dpred from
+(pred, target, g) under in-kernel `jax.vjp` (same recompute-backward as
+ops/pallas_loss.py) and contracts it with the warp kernel's stored tap
+differentials dx, dy in VMEM, writing only the (N, 2, H, W) coordinate
+cotangent.  dpred never exists in HBM; the analytic inventory says the
+cut is ~70-90 MB/iter (utils/calibration.py::analytic_bytes).
+
+Semantics: the composite returns `(err, warped)` where `err` carries the
+gradient and `warped` is GRADIENT-DETACHED (a by-product for the outputs
+dict / viz).  That detachment is exactly correct in the only
+configuration that uses this op: when `reproj_maps` is handed to
+`total_loss` (losses/photometric.py:233-243) the warped rgb outputs are
+never differentiated — the sole gradient path into the warp is via the
+error maps.  Values and gradients are otherwise identical to the two-op
+composition `pallas_reproj_err(pallas_warp_tall(...))` (tests).
+
+Reference behaviour covered (behaviour only, redesigned for TPU):
+`_compute_reprojection_loss` + grid_sample backward,
+/root/reference/depth_pose_prediction/depth_pose_prediction.py:1178-1192.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuslam.ops.pallas_loss import _err_math, _reproj_err_impl
+from tpuslam.ops.pallas_warp import TILE_H, _pallas_warp_tall_impl
+
+# VMEM working set of the fused backward block set: pred + dx + dy (tap
+# dtype) + target (f32) + g (H, W) + dcoords out (2, H, W), double
+# buffered.  Same budget philosophy as ops/pallas_loss.py::fits_vmem.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def fits_vmem_fused_bwd(H: int, W: int, C: int, bf16_taps: bool) -> bool:
+    tap = 2 if bf16_taps else 4
+    per_step = (3 * C * H * W * tap      # pred, dx, dy
+                + C * H * W * 4          # target
+                + H * W * 4              # g
+                + 2 * H * W * 4)         # dcoords block
+    return 2 * per_step < _VMEM_BUDGET_BYTES
+
+
+def _err_bwd_coords_kernel(pred_ref, tgt_ref, g_ref, dx_ref, dy_ref, dc_ref):
+    """Recompute d(err)/d(pred) in VMEM and contract with the warp tap
+    differentials: dcoords_x = sum_C dpred * dx, dcoords_y likewise."""
+    x = pred_ref[0].astype(jnp.float32)
+    y = tgt_ref[0].astype(jnp.float32)
+    _, vjp = jax.vjp(lambda p: _err_math(p, y), x)
+    dpred = vjp(g_ref[0])[0]  # (C, H, W) f32, never leaves VMEM
+    dx = dx_ref[0].astype(jnp.float32)
+    dy = dy_ref[0].astype(jnp.float32)
+    dc_ref[0, 0] = (dpred * dx).sum(axis=0)
+    dc_ref[0, 1] = (dpred * dy).sum(axis=0)
+
+
+def _live(v: jax.Array, hi: float) -> jax.Array:
+    """Sampler boundary-gradient convention shared with the warp VJPs:
+    interior coords pass, clamped coords die, exact-edge ties halve."""
+    inside = ((v > 0.0) & (v < hi)).astype(jnp.float32)
+    tie = ((v == 0.0) | (v == hi)).astype(jnp.float32)
+    return inside + 0.5 * tie
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def warp_reproj_err(src2: jax.Array, coords: jax.Array, target: jax.Array,
+                    interpret: bool = False, S: int = 4,
+                    bf16_out: bool = False, group_rows: int = 2 * TILE_H):
+    """Tall warp + per-pixel reprojection error with a single fused backward.
+
+    src2: (2*B, H, W, C) deduplicated source frames (pallas_warp_tall
+    layout); coords: (2*S*B, H, W, 2) warp-stack coords; target:
+    (B, H, W, 3) shared target frames.  Returns `(err, warped)` — err
+    (2*S*B, H, W) f32 error maps, warped (2*S*B, H, W, C) warp stack.
+
+    Differentiable w.r.t. `coords` THROUGH `err` ONLY: the `warped`
+    output is gradient-detached (its cotangent is ignored), which is
+    exact when the loss consumes `reproj_maps` instead of the rgb
+    outputs (losses/photometric.py:233).  Do not use it where warped
+    images re-enter a differentiated expression."""
+    out, _, _ = _pallas_warp_tall_impl(src2, coords, interpret, S, bf16_out,
+                                       group_rows)
+    err = _reproj_err_impl(out, target, interpret)
+    return err, out
+
+
+def _fwd(src2, coords, target, interpret, S, bf16_out, group_rows):
+    out, dx, dy = _pallas_warp_tall_impl(src2, coords, interpret, S,
+                                         bf16_out, group_rows)
+    err = _reproj_err_impl(out, target, interpret)
+    return (err, out), (out, dx, dy, coords, target, src2)
+
+
+def _bwd(interpret, S, bf16_out, group_rows, residuals, cotangents):
+    g_err, _g_warped_ignored = cotangents  # warped output is detached
+    out, dx, dy, coords, target, src2 = residuals
+    N, C, H, W = out.shape[0], out.shape[3], out.shape[1], out.shape[2]
+    B = target.shape[0]
+    dc = pl.pallas_call(
+        _err_bwd_coords_kernel,
+        grid=(B, N // B),
+        in_specs=[
+            pl.BlockSpec((1, C, H, W), lambda b, k: (k * B + b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # constant across k: target DMA issued once per batch row
+            pl.BlockSpec((1, C, H, W), lambda b, k: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b, k: (k * B + b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, H, W), lambda b, k: (k * B + b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, H, W), lambda b, k: (k * B + b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((N, 2, H, W), jnp.float32),
+        out_specs=pl.BlockSpec((1, 2, H, W), lambda b, k: (k * B + b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        out.transpose(0, 3, 1, 2),
+        target.transpose(0, 3, 1, 2),
+        g_err.astype(jnp.float32),
+        dx.transpose(0, 3, 1, 2),
+        dy.transpose(0, 3, 1, 2),
+    )
+    ddx = dc[:, 0] * _live(coords[..., 0], W - 1)
+    ddy = dc[:, 1] * _live(coords[..., 1], H - 1)
+    dcoords = jnp.stack([ddx, ddy], axis=-1)
+    return jnp.zeros_like(src2), dcoords, jnp.zeros_like(target)
+
+
+warp_reproj_err.defvjp(_fwd, _bwd)

@@ -139,6 +139,15 @@ class LossConfig(NamedTuple):
     # pallas_bf16_out.  Takes precedence over every other warp variant.
     # Opt-in pending on-silicon measurement (larger unrolled program).
     pallas_tall: bool = False
+    # `pallas_fused_bwd` (requires pallas_tall + pallas_fused_loss): fuse
+    # the loss backward with the warp VJP contraction in ONE kernel
+    # (ops/pallas_fused.py) — d(err)/d(pred) is recomputed and contracted
+    # with the tap differentials in VMEM instead of round-tripping the
+    # (N, C, H, W) f32 dpred stack through HBM (~70-90 MB/iter at
+    # 192x640).  Gradient-identical (tests); the warped by-product is
+    # gradient-detached, exact because total_loss consumes reproj_maps.
+    # Opt-in pending on-silicon measurement.
+    pallas_fused_bwd: bool = False
     # Anti-collapse log-mean-disparity prior (losses/photometric.py) for
     # low-parallax pretraining; 0 disables.  The Pretrainer activates it for
     # the first `scale_prior_epochs` epochs only.  The target is a metric
@@ -263,15 +272,36 @@ def warp_and_loss(
     # default until real-silicon numbers say otherwise (BASELINE.md).
     min_h = 8 + 16 * cfg.pallas_extra_tiles
     interpret = jax.default_backend() != "tpu"
+    err_all = None
     if (cfg.use_pallas_warp and cfg.pallas_tall and H % 8 == 0
             and W % 128 == 0 and W >= 384):
         from tpuslam.ops.pallas_warp import pallas_warp_tall
 
         # deduped sources: the tall kernel scale-tiles in VMEM
         src2 = jnp.concatenate([batch.frame(-1), batch.frame(1)], axis=0)
-        warped = pallas_warp_tall(
-            src2, coords, interpret, S, cfg.pallas_bf16_out
-        )
+        fuse_bwd = False
+        if cfg.pallas_fused_loss and cfg.pallas_fused_bwd:
+            from tpuslam.ops.pallas_fused import (fits_vmem_fused_bwd,
+                                                  warp_reproj_err)
+            from tpuslam.ops.pallas_loss import fits_vmem
+
+            C = src2.shape[-1]
+            fuse_bwd = (fits_vmem(H, W, C)
+                        and fits_vmem_fused_bwd(H, W, C, cfg.pallas_bf16_out))
+        if fuse_bwd:
+            # composite op: same fwd kernels, ONE backward kernel — dpred
+            # is contracted with the tap differentials in VMEM and never
+            # round-trips HBM.  The warped by-product is gradient-
+            # detached, which is exact here: with reproj_maps handed to
+            # total_loss the rgb outputs never re-enter the loss graph.
+            err_all, warped = warp_reproj_err(
+                src2, coords, batch.frame(0), interpret, S,
+                cfg.pallas_bf16_out,
+            )
+        else:
+            warped = pallas_warp_tall(
+                src2, coords, interpret, S, cfg.pallas_bf16_out
+            )
     elif (cfg.use_pallas_warp and H % 8 == 0 and W % 128 == 0
             and H >= min_h and W >= 384):
         from tpuslam.ops.pallas_warp import (pallas_warp_static,
@@ -315,10 +345,11 @@ def warp_and_loss(
     if cfg.pallas_fused_loss and H % 8 == 0 and W % 128 == 0:
         from tpuslam.ops.pallas_loss import fits_vmem, pallas_reproj_err
 
-        if fits_vmem(H, W, warped.shape[-1]):
+        if err_all is None and fits_vmem(H, W, warped.shape[-1]):
             err_all = pallas_reproj_err(
                 warped, batch.frame(0), jax.default_backend() != "tpu"
             )
+        if err_all is not None:
             reproj_maps = {}
             for fi, f in enumerate((-1, 1)):
                 for si, s in enumerate(cfg.scales):

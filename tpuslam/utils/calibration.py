@@ -392,6 +392,21 @@ def analytic_bytes(height: int = 192, width: int = 640, batch: int = 3,
     warp_tall = (src_stripes + coords + 3 * maps * out_img) + (
         2 * maps * out_img + maps * out_img + coords
     )
+    # composite fused backward (ops/pallas_fused.py): warp + loss fwd as
+    # above, ONE bwd kernel reading pred + target + g_err + dx + dy and
+    # writing only the (maps, 2, H, W) coordinate cotangent — the dpred
+    # stack and its re-read disappear entirely
+    err_maps = maps * H * W * 4
+    warp_loss_fused_bwd = (
+        # fwd: warp (stripes + coords + out/dx/dy) + loss (pred, target, err)
+        src_stripes + coords + 3 * maps * out_img
+        + maps * out_img + B * img + err_maps
+        # bwd: one kernel reads pred/target/g/dx/dy, writes the coordinate
+        # cotangent; the live-mask elementwise fuses into the dcoords
+        # consumer (same convention as the two-op entries above)
+        + maps * out_img + B * img + err_maps + 2 * maps * out_img
+        + coords
+    )
 
     # XLA loss: 8 pred reads + 8 target reads + identity (2) + per-pixel
     # loss surfaces fwd/bwd (~3x input traffic for SSIM stats + automask)
@@ -415,6 +430,7 @@ def analytic_bytes(height: int = 192, width: int = 640, batch: int = 3,
         "warp_pallas_segskip_fwd_bwd": warp_two,
         "warp_pallas_fused_fwd_bwd": warp_fused,
         "warp_tall_fwd_bwd": warp_tall,
+        "warp_loss_fused_bwd": warp_loss_fused_bwd,
         "loss_fwd_bwd": loss,
         "loss_pallas_fwd_bwd": loss_fused,
         "adam_update": adam,
@@ -460,6 +476,7 @@ def project_native_fps_fused(
     height: int = 192,
     width: int = 640,
     batch: int = 3,
+    fused_bwd: bool = False,
 ) -> Dict[str, float]:
     """Analytic native-v5e projection for the ROUND-4 FUSED PIPELINE:
     tall column-stripe warp (deduped sources, fused gradient) + fused VMEM
@@ -491,10 +508,16 @@ def project_native_fps_fused(
                  act * ana["encoder_fwd"] / PEAK_HBM_GBS * 1e3 / hbm_eff)
     dec_ms = max(_DECODER_GFLOPS * 2.2 * 1e9 / peak * 1e3 / mxu_eff,
                  act * ana["decoder_fwd"] * 2.2 / PEAK_HBM_GBS * 1e3 / hbm_eff)
+    if fused_bwd:
+        # composite backward (ops/pallas_fused.py): warp + loss ride one
+        # traffic class, the dpred round-trip is gone
+        warp_loss = {"warp_loss": hbm_ms("warp_loss_fused_bwd")}
+    else:
+        warp_loss = {"warp": hbm_ms("warp_tall_fwd_bwd"),
+                     "loss": hbm_ms("loss_pallas_fwd_bwd")}
     parts = {
         "dec": dec_ms,
-        "warp": hbm_ms("warp_tall_fwd_bwd"),
-        "loss": hbm_ms("loss_pallas_fwd_bwd"),
+        **warp_loss,
         "coords": hbm_ms("coords_fwd_bwd"),
         "mask_smooth": hbm_ms("mask_smooth"),
         "adam": hbm_ms("adam_update"),
@@ -523,9 +546,11 @@ def main() -> None:
     for k, v in proj.items():
         print(f"{k}: {v}")
     for bf16 in (False, True):
-        for mxu, hbm in ((0.4, 0.55), (0.45, 0.7)):
-            print(project_native_fps_fused(bf16=bf16, mxu_eff=mxu,
-                                           hbm_eff=hbm))
+        for fused_bwd in (False, True):
+            for mxu, hbm in ((0.4, 0.55), (0.45, 0.7)):
+                print(project_native_fps_fused(bf16=bf16, mxu_eff=mxu,
+                                               hbm_eff=hbm,
+                                               fused_bwd=fused_bwd))
 
 
 if __name__ == "__main__":
