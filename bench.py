@@ -98,6 +98,11 @@ def main() -> None:
                     help="pallas_fused_bwd (with --tall --fused-loss): one "
                          "backward kernel contracts dpred with the tap "
                          "differentials in VMEM — no dpred HBM round trip")
+    ap.add_argument("--proj", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="pallas_proj (with --tall): compute warp coords "
+                         "in-kernel from depth + affine camera maps (no "
+                         "points/coords HBM round trips)")
     ap.add_argument("--fused-loss", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="pallas_fused_loss: per-pixel SSIM+L1 error maps "
@@ -136,6 +141,7 @@ def main() -> None:
     overrides["pallas_bf16_out"] = args.bf16_out
     overrides["pallas_tall"] = args.tall
     overrides["pallas_fused_bwd"] = args.fused_bwd
+    overrides["pallas_proj"] = args.proj
     cfg = LossConfig(scales=(0, 1, 2, 3), min_depth=0.1, max_depth=None,
                      **overrides)  # pallas warp on by default
     tx = make_adapt_optimizer(variables["params"], 1e-4)

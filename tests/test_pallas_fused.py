@@ -139,3 +139,126 @@ def test_warp_and_loss_fused_bwd_matches_unfused(rng):
     g_off = np.asarray(jax.grad(lambda d: loss(False, d))(disps[("disp", 0)]))
     g_on = np.asarray(jax.grad(lambda d: loss(True, d))(disps[("disp", 0)]))
     np.testing.assert_allclose(g_on, g_off, atol=1e-6, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Composite with in-kernel projection (warp_reproj_err_proj)
+# ---------------------------------------------------------------------------
+
+
+def _proj_inputs(rng):
+    """depth + affine camera maps + matching coordinate field."""
+    from tpuslam.geometry.camera import projection_affine
+    from tpuslam.geometry.se3 import transformation_from_parameters
+    from tpuslam.ops.pallas_warp import proj_coords_xla
+
+    gx, gy = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32), indexing="xy")
+    depth = jnp.asarray(np.stack([
+        4.0 + 1.5 * np.sin(gx / W * (2 + k)) * np.cos(gy / H * (1 + k))
+        for k in range(S * B)
+    ])[..., None].astype(np.float32))
+    K = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    K[:, 0, 0] = 0.58 * W
+    K[:, 1, 1] = 1.92 * H
+    K[:, 0, 2] = 0.5 * W
+    K[:, 1, 2] = 0.5 * H
+    inv_K = jnp.asarray(np.linalg.inv(K).astype(np.float32))
+    K = jnp.asarray(K)
+    aa = jnp.asarray(0.01 * rng.normal(size=(2 * B, 3)).astype(np.float32))
+    tr = jnp.asarray(0.05 * rng.normal(size=(2 * B, 3)).astype(np.float32))
+    T2 = transformation_from_parameters(aa, tr)
+    ab = projection_affine(jnp.tile(K, (2, 1, 1)),
+                           jnp.tile(inv_K, (2, 1, 1)), T2)
+    return depth, ab, proj_coords_xla(depth, ab, S)
+
+
+def test_composite_proj_matches_coords_composite(rng):
+    """In-kernel projection composite == coordinate-fed composite at the
+    SAME coordinates (values and error maps)."""
+    from tpuslam.ops.pallas_fused import warp_reproj_err_proj
+
+    src2, _, target = _data(rng)
+    depth, ab, coords = _proj_inputs(rng)
+    err_p, warped_p = warp_reproj_err_proj(src2, depth, ab, target, True, S)
+    err_c, warped_c = warp_reproj_err(src2, coords, target, True, S)
+    # in-kernel vs full-array projection differ by FMA contraction
+    # (~1e-4 px coordinate wobble -> ~1e-4 value wobble through the taps)
+    np.testing.assert_allclose(np.asarray(warped_p), np.asarray(warped_c),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(err_p), np.asarray(err_c),
+                               atol=3e-4)
+
+
+def test_composite_proj_gradients_match_chain(rng):
+    """d(loss)/d(depth) and d(loss)/d(ab) through the fused backward +
+    projection VJP chain == autodiff of the coordinate-fed composite
+    composed with the XLA projection recompute."""
+    from tpuslam.ops.pallas_fused import warp_reproj_err_proj
+    from tpuslam.ops.pallas_warp import proj_coords_xla
+
+    src2, _, target = _data(rng)
+    depth, ab, _ = _proj_inputs(rng)
+    w = jnp.asarray(rng.uniform(size=(S * 2 * B, H, W)).astype(np.float32))
+
+    def loss_proj(depth_, ab_):
+        err, _ = warp_reproj_err_proj(src2, depth_, ab_, target, True, S)
+        return (err * w).sum()
+
+    def loss_chain(depth_, ab_):
+        coords = proj_coords_xla(depth_, ab_, S)
+        err, _ = warp_reproj_err(src2, coords, target, True, S)
+        return (err * w).sum()
+
+    gd_p, ga_p = jax.grad(loss_proj, argnums=(0, 1))(depth, ab)
+    gd_c, ga_c = jax.grad(loss_chain, argnums=(0, 1))(depth, ab)
+    # in-kernel vs full-array projection coords differ by FMA contraction:
+    # allow isolated tap-boundary flips, near-exact agreement elsewhere
+    bad = ~np.isclose(np.asarray(gd_p), np.asarray(gd_c),
+                      atol=1e-3, rtol=1e-3)
+    assert bad.mean() < 1e-3, f"{bad.sum()} / {bad.size} gradient outliers"
+    # ab gradients reduce over all pixels — boundary flips bleed ~1%
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_c),
+                               atol=1e-3, rtol=5e-2)
+
+
+def test_warp_and_loss_proj_fused_matches_unfused(rng):
+    """Production integration: the full round-4 stack (tall + fused loss +
+    fused bwd + in-kernel projection) vs the same stack without proj —
+    identical losses and disp gradients."""
+    from tpuslam.train import LossConfig, make_frame_batch
+    from tpuslam.train.steps import warp_and_loss
+
+    h, w, b = 48, 384, 2
+    scales = (0, 1)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = 0.58 * w; K[1, 1] = 1.92 * h; K[0, 2] = 0.5 * w; K[1, 2] = 0.5 * h
+    batch = make_frame_batch(
+        rng.uniform(size=(b, 3, h, w, 3)).astype(np.float32),
+        K,
+        rng.uniform(0.5, 2.0, size=(b, 2)).astype(np.float32),
+    )
+    disps = {
+        ("disp", s): jnp.asarray(
+            rng.uniform(0.2, 0.6, size=(b, h >> s, w >> s, 1)).astype(np.float32)
+        )
+        for s in scales
+    }
+    aa = jnp.asarray(0.01 * rng.normal(size=(2 * b, 3)).astype(np.float32))
+    tr = jnp.asarray(0.05 * rng.normal(size=(2 * b, 3)).astype(np.float32))
+
+    def loss(proj, d0):
+        cfg = LossConfig(scales=scales, use_pallas_warp=True,
+                         pallas_tall=True, pallas_fused_loss=True,
+                         pallas_fused_bwd=True, pallas_proj=proj)
+        losses, _ = warp_and_loss({**disps, ("disp", 0): d0}, aa, tr, batch,
+                                  cfg)
+        return losses["loss"]
+
+    l_off = float(loss(False, disps[("disp", 0)]))
+    l_on = float(loss(True, disps[("disp", 0)]))
+    np.testing.assert_allclose(l_on, l_off, rtol=1e-5)
+
+    g_off = np.asarray(jax.grad(lambda d: loss(False, d))(disps[("disp", 0)]))
+    g_on = np.asarray(jax.grad(lambda d: loss(True, d))(disps[("disp", 0)]))
+    np.testing.assert_allclose(g_on, g_off, atol=1e-5, rtol=1e-3)

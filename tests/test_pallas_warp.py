@@ -543,3 +543,157 @@ def test_warp_and_loss_tall_matches_default(rng):
     g_def = np.asarray(jax.grad(lambda d: loss(False, d))(disps[("disp", 0)]))
     g_tall = np.asarray(jax.grad(lambda d: loss(True, d))(disps[("disp", 0)]))
     np.testing.assert_allclose(g_tall, g_def, atol=1e-6, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel projection (pallas_warp_tall_proj)
+# ---------------------------------------------------------------------------
+
+
+def _proj_data(rng, S=2):
+    """Realistic camera geometry for the in-kernel projection: intrinsics,
+    small SE(3) motions per (direction, batch), smooth positive depth."""
+    from tpuslam.geometry.se3 import transformation_from_parameters
+
+    b = B
+    src = jnp.asarray(rng.uniform(size=(2 * b, HS, WS, C)).astype(np.float32))
+    gx, gy = np.meshgrid(np.arange(WS, dtype=np.float32),
+                         np.arange(HS, dtype=np.float32), indexing="xy")
+    depth = np.stack([
+        4.0 + 1.5 * np.sin(gx / WS * (2 + k)) * np.cos(gy / HS * (1 + k))
+        for k in range(S * b)
+    ])[..., None].astype(np.float32)
+    K = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+    K[:, 0, 0] = 0.58 * WS
+    K[:, 1, 1] = 1.92 * HS
+    K[:, 0, 2] = 0.5 * WS
+    K[:, 1, 2] = 0.5 * HS
+    inv_K = np.linalg.inv(K).astype(np.float32)
+    aa = jnp.asarray(0.01 * rng.normal(size=(2 * b, 3)).astype(np.float32))
+    tr = jnp.asarray(0.05 * rng.normal(size=(2 * b, 3)).astype(np.float32))
+    T2 = transformation_from_parameters(aa, tr)
+    return src, jnp.asarray(depth), jnp.asarray(K), jnp.asarray(inv_K), T2
+
+
+def _chain_coords(depth, K, inv_K, T2, S):
+    """The original two-stage XLA projection at the warp-stack layout."""
+    from tpuslam.geometry.camera import backproject_depth, pixel_grid, project_3d
+
+    SB, h, w = depth.shape[0], depth.shape[1], depth.shape[2]
+    b = K.shape[0]
+    points = backproject_depth(depth, jnp.tile(inv_K, (S, 1, 1)),
+                               pixel_grid(h, w))
+    T_stack = jnp.concatenate(
+        [jnp.tile(T2[:b], (S, 1, 1)), jnp.tile(T2[b:], (S, 1, 1))], axis=0
+    )
+    return project_3d(jnp.tile(points, (2, 1, 1)),
+                      jnp.tile(K, (2 * S, 1, 1)), T_stack, h, w)
+
+
+def test_pallas_warp_tall_proj_matches_chain(rng):
+    """In-kernel projection == XLA backproject/project + sampler (up to f32
+    association of the collapsed affine map)."""
+    from tpuslam.geometry.camera import projection_affine
+    from tpuslam.ops.pallas_warp import pallas_warp_tall_proj
+
+    S = 2
+    src, depth, K, inv_K, T2 = _proj_data(rng, S)
+    ab = projection_affine(jnp.tile(K, (2, 1, 1)),
+                           jnp.tile(inv_K, (2, 1, 1)), T2)
+    ours = np.asarray(pallas_warp_tall_proj(src, depth, ab, True, S))
+    coords = _chain_coords(depth, K, inv_K, T2, S)
+    ref = np.asarray(bilinear_sampler(_tall_tiled_src(src, S), coords))
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_proj_coords_xla_matches_chain(rng):
+    """The VJP-side XLA recompute agrees with the two-stage chain."""
+    from tpuslam.geometry.camera import projection_affine
+    from tpuslam.ops.pallas_warp import proj_coords_xla
+
+    S = 2
+    _, depth, K, inv_K, T2 = _proj_data(rng, S)
+    ab = projection_affine(jnp.tile(K, (2, 1, 1)),
+                           jnp.tile(inv_K, (2, 1, 1)), T2)
+    ours = np.asarray(proj_coords_xla(depth, ab, S))
+    ref = np.asarray(_chain_coords(depth, K, inv_K, T2, S))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_pallas_warp_tall_proj_gradients(rng):
+    """Gradients w.r.t. depth AND pose flow through the in-kernel projection
+    and match autodiff of the XLA chain."""
+    from tpuslam.geometry.camera import projection_affine
+    from tpuslam.ops.pallas_warp import pallas_warp_tall_proj
+
+    S = 2
+    src, depth, K, inv_K, T2 = _proj_data(rng, S)
+    tiled = _tall_tiled_src(src, S)
+
+    def f_proj(depth_, T2_):
+        ab = projection_affine(jnp.tile(K, (2, 1, 1)),
+                               jnp.tile(inv_K, (2, 1, 1)), T2_)
+        out = pallas_warp_tall_proj(src, depth_, ab, True, S)
+        return (out ** 2).sum()
+
+    def f_chain(depth_, T2_):
+        coords = _chain_coords(depth_, K, inv_K, T2_, S)
+        return (bilinear_sampler(tiled, coords) ** 2).sum()
+
+    gd_p, gt_p = jax.grad(f_proj, argnums=(0, 1))(depth, T2)
+    gd_c, gt_c = jax.grad(f_chain, argnums=(0, 1))(depth, T2)
+    # the collapsed affine map differs from the two-stage chain by f32
+    # association (~3e-5 px): pixels whose coordinate floor() flips give a
+    # legitimately different (still valid) tap subgradient — allow a tiny
+    # fraction of such boundary crossings, exact agreement elsewhere
+    bad = ~np.isclose(np.asarray(gd_p), np.asarray(gd_c),
+                      atol=5e-2, rtol=1e-3)
+    assert bad.mean() < 1e-3, f"{bad.sum()} / {bad.size} gradient outliers"
+    # the pose gradient reduces over all pixels, so the handful of flipped
+    # taps bleed ~1% into the totals — rtol sized to that, not to f32
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_c),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_warp_and_loss_proj_matches_default(rng):
+    """pallas_proj through the production warp_and_loss: same losses and
+    gradients as the exact XLA sampler path."""
+    from tpuslam.train import LossConfig, make_frame_batch
+    from tpuslam.train.steps import warp_and_loss
+
+    h, w, b = 48, 384, 2
+    scales = (0, 1)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = 0.58 * w; K[1, 1] = 1.92 * h; K[0, 2] = 0.5 * w; K[1, 2] = 0.5 * h
+    batch = make_frame_batch(
+        rng.uniform(size=(b, 3, h, w, 3)).astype(np.float32),
+        K,
+        rng.uniform(0.5, 2.0, size=(b, 2)).astype(np.float32),
+    )
+    disps = {
+        ("disp", s): jnp.asarray(
+            rng.uniform(0.2, 0.6, size=(b, h >> s, w >> s, 1)).astype(np.float32)
+        )
+        for s in scales
+    }
+    aa = jnp.asarray(0.01 * rng.normal(size=(2 * b, 3)).astype(np.float32))
+    tr = jnp.asarray(0.05 * rng.normal(size=(2 * b, 3)).astype(np.float32))
+
+    def loss(proj, d0):
+        cfg = LossConfig(scales=scales, pallas_extra_tiles=1,
+                         pallas_tall=proj, pallas_proj=proj,
+                         use_pallas_warp=proj)
+        losses, _ = warp_and_loss({**disps, ("disp", 0): d0}, aa, tr, batch,
+                                  cfg)
+        return losses["loss"]
+
+    l_def = float(loss(False, disps[("disp", 0)]))
+    l_proj = float(loss(True, disps[("disp", 0)]))
+    np.testing.assert_allclose(l_proj, l_def, rtol=1e-5)
+
+    g_def = np.asarray(jax.grad(lambda d: loss(False, d))(disps[("disp", 0)]))
+    g_proj = np.asarray(jax.grad(lambda d: loss(True, d))(disps[("disp", 0)]))
+    # allow isolated tap-boundary crossings from the f32 association
+    # difference of the collapsed affine map (see the proj gradient test)
+    bad = ~np.isclose(g_proj, g_def, atol=1e-5, rtol=1e-3)
+    assert bad.mean() < 1e-3, f"{bad.sum()} / {bad.size} gradient outliers"

@@ -45,6 +45,7 @@ run python bench.py --tall --e2e-frames 0            # full-height stripe kernel
 run python bench.py --tall --bf16-out --e2e-frames 0
 run python bench.py --tall --bf16-out --fused-loss --e2e-frames 0
 run python bench.py --tall --bf16-out --fused-loss --fused-bwd --e2e-frames 0
+run python bench.py --tall --bf16-out --fused-loss --fused-bwd --proj --e2e-frames 0
 run python bench.py --fused-loss --e2e-frames 0      # fused loss on windowed warp
 run python bench.py --bf16-out --e2e-frames 0
 run python bench.py --extra-tiles 1 --e2e-frames 0   # r3 speed ceiling ref

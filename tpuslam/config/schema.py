@@ -125,6 +125,11 @@ class DepthPoseConfig:
     # differentials in VMEM — the dpred stack never round-trips HBM.
     # Gradient-identical; opt-in pending on-silicon measurement.
     pallas_fused_bwd: bool = False
+    # `pallas_proj` (with pallas_tall): compute warp coordinates IN-KERNEL
+    # from depth + per-(direction, batch) affine camera maps — the XLA
+    # backproject/project stage and its points/coords HBM round trips
+    # disappear (train/steps.py LossConfig).  Opt-in pending measurement.
+    pallas_proj: bool = False
     # Per-head online LR split (train/state.py make_adapt_optimizer): the
     # depth decoder adapts at learning_rate * adapt_depth_lr_scale, the pose
     # decoder at the full rate.  1.0 = reference-exact (both heads share one

@@ -92,6 +92,25 @@ def project_3d(
     return xy.reshape(B, 2, height, width).transpose(0, 2, 3, 1)
 
 
+def projection_affine(K: jax.Array, inv_K: jax.Array, T: jax.Array) -> jax.Array:
+    """Collapse backproject+project into a per-sample affine camera map.
+
+    With P = (K @ T)[:, :3, :] and r = inv_K33 @ [u, v, 1], the chain
+    `project_3d(backproject_depth(d, inv_K, pix), K, T)` computes
+    cam = d * (P33 @ inv_K33) @ [u, v, 1] + P[:, 3] followed by the
+    z-clamped perspective divide.  This returns those constants packed as
+    (B, 12): A = P33 @ inv_K33 row-major in columns 0..8, b = P[:, 3] in
+    columns 9..11 — the SMEM operand of the in-kernel-projection warp
+    (ops/pallas_warp.py::pallas_warp_tall_proj).  Same algebra as
+    BackprojectDepth + Project3D (reference networks/layers.py:51-104),
+    equal to the two-op chain up to f32 association.
+    """
+    P = _mm(K, T)[:, :3, :]  # (B, 3, 4)
+    A = _mm(P[:, :, :3], inv_K[:, :3, :3])
+    B = K.shape[0]
+    return jnp.concatenate([A.reshape(B, 9), P[:, :, 3]], axis=1)
+
+
 def normalize_pixel_coords(coords: jax.Array, height: int, width: int) -> jax.Array:
     """Pixel coords (B, H, W, 2) -> [-1, 1] grid (align_corners=True)."""
     x = coords[..., 0] / (width - 1)

@@ -36,7 +36,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuslam.ops.pallas_loss import _err_math, _reproj_err_impl
-from tpuslam.ops.pallas_warp import TILE_H, _pallas_warp_tall_impl
+from tpuslam.ops.pallas_warp import (TILE_H, _pallas_warp_tall_impl,
+                                     _pallas_warp_tall_proj_impl,
+                                     proj_vjp_chain)
 
 # VMEM working set of the fused backward block set: pred + dx + dy (tap
 # dtype) + target (f32) + g (H, W) + dcoords out (2, H, W), double
@@ -103,12 +105,13 @@ def _fwd(src2, coords, target, interpret, S, bf16_out, group_rows):
     return (err, out), (out, dx, dy, coords, target, src2)
 
 
-def _bwd(interpret, S, bf16_out, group_rows, residuals, cotangents):
-    g_err, _g_warped_ignored = cotangents  # warped output is detached
-    out, dx, dy, coords, target, src2 = residuals
+def _dc_from_err_bwd(out, target, g_err, dx, dy, interpret):
+    """Run the fused backward kernel: recompute d(err)/d(pred) in VMEM and
+    contract with the tap differentials, returning the raw (N, 2, H, W)
+    coordinate cotangents (boundary masking is the caller's)."""
     N, C, H, W = out.shape[0], out.shape[3], out.shape[1], out.shape[2]
     B = target.shape[0]
-    dc = pl.pallas_call(
+    return pl.pallas_call(
         _err_bwd_coords_kernel,
         grid=(B, N // B),
         in_specs=[
@@ -135,6 +138,13 @@ def _bwd(interpret, S, bf16_out, group_rows, residuals, cotangents):
         dx.transpose(0, 3, 1, 2),
         dy.transpose(0, 3, 1, 2),
     )
+
+
+def _bwd(interpret, S, bf16_out, group_rows, residuals, cotangents):
+    g_err, _g_warped_ignored = cotangents  # warped output is detached
+    out, dx, dy, coords, target, src2 = residuals
+    H, W = out.shape[1], out.shape[2]
+    dc = _dc_from_err_bwd(out, target, g_err, dx, dy, interpret)
     ddx = dc[:, 0] * _live(coords[..., 0], W - 1)
     ddy = dc[:, 1] * _live(coords[..., 1], H - 1)
     dcoords = jnp.stack([ddx, ddy], axis=-1)
@@ -142,3 +152,41 @@ def _bwd(interpret, S, bf16_out, group_rows, residuals, cotangents):
 
 
 warp_reproj_err.defvjp(_fwd, _bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def warp_reproj_err_proj(src2: jax.Array, depth: jax.Array, ab: jax.Array,
+                         target: jax.Array, interpret: bool = False,
+                         S: int = 4, bf16_out: bool = False,
+                         group_rows: int = 2 * TILE_H):
+    """`warp_reproj_err` with IN-KERNEL projection: the warp coordinates
+    are computed inside the tall kernel from `depth` (S*B, H, W, 1) and the
+    per-(direction, batch) affine camera maps `ab` (2*B, 12 — see
+    geometry.camera.projection_affine), so neither the coordinate field
+    nor the points stack ever exists in HBM.  Returns `(err, warped)` with
+    the same detached-`warped` contract as `warp_reproj_err`; gradients
+    flow to `depth` and `ab` through the fused backward kernel plus an
+    XLA elementwise projection-VJP chain (pallas_warp.proj_vjp_chain)."""
+    out, _, _ = _pallas_warp_tall_proj_impl(src2, depth, ab, interpret, S,
+                                            bf16_out, group_rows)
+    err = _reproj_err_impl(out, target, interpret)
+    return err, out
+
+
+def _proj_fwd(src2, depth, ab, target, interpret, S, bf16_out, group_rows):
+    out, dx, dy = _pallas_warp_tall_proj_impl(src2, depth, ab, interpret, S,
+                                              bf16_out, group_rows)
+    err = _reproj_err_impl(out, target, interpret)
+    return (err, out), (out, dx, dy, depth, ab, target, src2)
+
+
+def _proj_bwd(interpret, S, bf16_out, group_rows, residuals, cotangents):
+    g_err, _g_warped_ignored = cotangents  # warped output is detached
+    out, dx, dy, depth, ab, target, src2 = residuals
+    H, W = out.shape[1], out.shape[2]
+    dc = _dc_from_err_bwd(out, target, g_err, dx, dy, interpret)
+    ddepth, dab = proj_vjp_chain(depth, ab, dc[:, 0], dc[:, 1], S, H, W)
+    return (jnp.zeros_like(src2), ddepth, dab, jnp.zeros_like(target))
+
+
+warp_reproj_err_proj.defvjp(_proj_fwd, _proj_bwd)

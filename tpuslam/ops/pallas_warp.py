@@ -894,11 +894,21 @@ def _tall_specs(B2, S, B, H, W, C, out_h, n_out):
 
 def _warp_kernel_tall(src_ref, coords_ref, out_ref, dx_ref, dy_ref, *, H, W,
                       out_h, group_rows):
-    C = src_ref.shape[1]
     j = pl.program_id(1)
     xs = jnp.clip(j - 1, 0, W // TILE_W - 3) * TILE_W
-    x = jnp.clip(coords_ref[0, 0], 0.0, W - 1)
-    y = jnp.clip(coords_ref[0, 1], 0.0, H - 1)
+    _tall_sweep_from_xy(src_ref, coords_ref[0, 0], coords_ref[0, 1], xs,
+                        out_ref, dx_ref, dy_ref, H=H, W=W, out_h=out_h,
+                        group_rows=group_rows)
+
+
+def _tall_sweep_from_xy(src_ref, x, y, xs, out_ref, dx_ref, dy_ref, *, H, W,
+                        out_h, group_rows):
+    """Shared tall-kernel body: clip/floor the (out_h, TILE_W) coordinate
+    blocks, then run the group-predicated full-height gather sweep, storing
+    the warped block plus the two tap differentials."""
+    C = src_ref.shape[1]
+    x = jnp.clip(x, 0.0, W - 1)
+    y = jnp.clip(y, 0.0, H - 1)
     x0 = jnp.minimum(jnp.floor(x), W - 2)
     y0 = jnp.minimum(jnp.floor(y), H - 2)
     wx = x - x0
@@ -1006,6 +1016,209 @@ def _tall_bwd(interpret, S, bf16_out, group_rows, residuals, g):
 
 
 pallas_warp_tall.defvjp(_tall_fwd, _tall_bwd)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel projection variant ("proj"): the tall kernel computes the warp
+# coordinates ITSELF from the per-pixel depth and a per-(direction, batch)
+# affine camera map, instead of being fed a precomputed (2*S*B, H, W, 2)
+# coordinate field.  Algebra: with P = (K @ T)[:3, :] and r = inv_K33 @
+# [u, v, 1], the XLA chain backproject_depth -> project_3d computes
+# cam = P @ [d*r; 1] = d * (P33 @ inv_K33) @ [u, v, 1] + P[:, 3] — an
+# affine map A (3x3) + b (3) of the homogeneous pixel, scaled by depth.
+# A/b are 12 floats per (direction, batch row) delivered through SMEM;
+# u, v are iota; d is a (1, 1, out_h, TILE_W) depth block.  What this
+# removes from HBM per iteration (192x640, batch 3, S=4): the points
+# stack write+reads (~53 MB), the coords write + kernel read (~47 MB),
+# and the backward's dcoords/points round trip — the projection VJP
+# re-reads only the (S*B, H, W) depth (5.9 MB) and writes d(depth)
+# (utils/calibration.py::analytic_bytes).  The VJP chain to depth and to
+# A/b runs in XLA (elementwise recompute of the same `_proj_xy` formula,
+# fused into the tap-differential contraction); gradients then flow to
+# the pose decoder through the (tiny) A/b construction.
+# Reference behaviour covered: BackprojectDepth + Project3D
+# (/root/reference/depth_pose_prediction/networks/layers.py:51-104),
+# redesigned as a fused in-kernel map.
+# ---------------------------------------------------------------------------
+_PROJ_EPS = 1e-3  # z clamp — must match geometry.camera.project_3d
+
+
+def _proj_xy(d, u, v, a, b3):
+    """Shared projection formula: pixel coords from depth + affine map.
+
+    a: 9 scalars (A row-major), b3: 3 scalars; d/u/v broadcastable arrays.
+    Used VERBATIM by both the Pallas kernel and the XLA recompute in the
+    VJP so the two paths agree to FMA contraction."""
+    rx = a[0] * u + a[1] * v + a[2]
+    ry = a[3] * u + a[4] * v + a[5]
+    rz = a[6] * u + a[7] * v + a[8]
+    cx = d * rx + b3[0]
+    cy = d * ry + b3[1]
+    cz = d * rz + b3[2]
+    z = jnp.maximum(cz, _PROJ_EPS)
+    return cx / z, cy / z
+
+
+def _warp_kernel_tall_proj(ab_ref, src_ref, depth_ref, out_ref, dx_ref,
+                           dy_ref, *, H, W, out_h, group_rows):
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+    xs = jnp.clip(j - 1, 0, W // TILE_W - 3) * TILE_W
+    u = (jax.lax.broadcasted_iota(jnp.float32, (out_h, TILE_W), 1)
+         + (j * TILE_W).astype(jnp.float32))
+    v = (jax.lax.broadcasted_iota(jnp.float32, (out_h, TILE_W), 0)
+         + (i * out_h).astype(jnp.float32))
+    d = depth_ref[0, 0]
+    a = [ab_ref[0, k] for k in range(9)]
+    b3 = [ab_ref[0, 9 + k] for k in range(3)]
+    x, y = _proj_xy(d, u, v, a, b3)
+    _tall_sweep_from_xy(src_ref, x, y, xs, out_ref, dx_ref, dy_ref, H=H,
+                        W=W, out_h=out_h, group_rows=group_rows)
+
+
+def _tall_proj_specs(B2, S, B, H, W, C, out_h, n_out):
+    from jax.experimental.pallas import Element
+
+    def src_index(g0, j, i, s):
+        xs = jnp.clip(j - 1, 0, W // TILE_W - 3) * TILE_W
+        return (g0, 0, 0, xs)
+
+    def bp_index(g0, j, i, s):
+        fi = g0 // B
+        b = g0 % B
+        return ((fi * S + s) * B + b, 0, i, j)
+
+    def depth_index(g0, j, i, s):
+        return (s * B + g0 % B, 0, i, j)
+
+    out_spec = pl.BlockSpec((1, C, out_h, TILE_W), bp_index,
+                            memory_space=pltpu.VMEM)
+    return dict(
+        grid=(B2, W // TILE_W, H // out_h, S),
+        in_specs=[
+            # per-(direction, batch) affine map — 12 scalars in SMEM,
+            # constant across the j/i/s grid dims
+            pl.BlockSpec((1, 12), lambda g0, j, i, s: (g0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (Element(1), Element(C), Element(H), Element(SWIN_W)),
+                src_index,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, out_h, TILE_W), depth_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec,) * n_out,
+    )
+
+
+def _pallas_warp_tall_proj_impl(src, depth, ab, interpret, S, bf16_out,
+                                group_rows):
+    B2, H, W, C = src.shape
+    B = B2 // 2
+    assert depth.shape[0] == S * B, (depth.shape, S, B)
+    assert ab.shape == (B2, 12), ab.shape
+    N = 2 * S * B
+    assert H % TILE_H == 0 and W % TILE_W == 0 and W >= SWIN_W, (H, W)
+    out_h = _pick_out_h(H)
+    spec = _tall_proj_specs(B2, S, B, H, W, C, out_h, 3)
+    dtype = jnp.bfloat16 if bf16_out else jnp.float32
+    shape = jax.ShapeDtypeStruct((N, C, H, W), dtype)
+    kernel = partial(_warp_kernel_tall_proj, H=H, W=W, out_h=out_h,
+                     group_rows=group_rows)
+    out, dx, dy = pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+        **spec,
+    )(ab, src.transpose(0, 3, 1, 2), depth.transpose(0, 3, 1, 2))
+    return (out.transpose(0, 2, 3, 1), dx.transpose(0, 2, 3, 1),
+            dy.transpose(0, 2, 3, 1))
+
+
+def proj_coords_xla(depth: jax.Array, ab: jax.Array, S: int) -> jax.Array:
+    """XLA recompute of the in-kernel projection — same `_proj_xy` formula.
+
+    depth: (S*B, H, W, 1); ab: (2*B, 12).  Returns (2*S*B, H, W, 2) pixel
+    coords in the warp-stack order.  Differentiable (the proj VJPs chain
+    through `jax.vjp` of this); also the reference path for tests."""
+    SB, H, W = depth.shape[0], depth.shape[1], depth.shape[2]
+    B = ab.shape[0] // 2
+    d = jnp.tile(depth[..., 0], (2, 1, 1))  # (2SB, H, W)
+    n = jnp.arange(2 * SB)
+    abn = ab[(n // (S * B)) * B + n % B]  # (2SB, 12)
+    a = [abn[:, k, None, None] for k in range(9)]
+    b3 = [abn[:, 9 + k, None, None] for k in range(3)]
+    u = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    x, y = _proj_xy(d, u, v, a, b3)
+    return jnp.stack([x, y], axis=-1)
+
+
+def _live_grad(v, hi):
+    inside = ((v > 0.0) & (v < hi)).astype(jnp.float32)
+    tie = ((v == 0.0) | (v == hi)).astype(jnp.float32)
+    return inside + 0.5 * tie
+
+
+def proj_vjp_chain(depth, ab, dcx, dcy, S, H, W):
+    """Chain raw coordinate cotangents back to (d(depth), d(ab)).
+
+    dcx/dcy: (2*S*B, H, W) contractions of the upstream gradient with the
+    stored tap differentials (NOT yet boundary-masked — the sampler's
+    `live` convention is applied here on the recomputed raw coords).
+    Everything is elementwise recompute + two small reductions; XLA fuses
+    it into the contraction, so HBM sees only the depth re-read and the
+    d(depth) write."""
+    def coords_fn(depth_, ab_):
+        c = proj_coords_xla(depth_, ab_, S)
+        return c[..., 0], c[..., 1]
+
+    (x, y), vjp = jax.vjp(coords_fn, depth, ab)
+    ddx = dcx * _live_grad(x, W - 1)
+    ddy = dcy * _live_grad(y, H - 1)
+    return vjp((ddx, ddy))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def pallas_warp_tall_proj(src: jax.Array, depth: jax.Array, ab: jax.Array,
+                          interpret: bool = False, S: int = 4,
+                          bf16_out: bool = False,
+                          group_rows: int = 2 * TILE_H):
+    """Tall warp with IN-KERNEL projection: coordinates are computed inside
+    the kernel from depth + a per-(direction, batch) affine camera map, so
+    the (2*S*B, H, W, 2) coordinate field (and the points stack feeding it)
+    never exists in HBM.
+
+    src: (2*B, H, W, C) deduplicated source frames; depth: (S*B, H, W, 1)
+    full-resolution depth per (scale, batch row) — the scale-major stack of
+    train/steps.py; ab: (2*B, 12) affine maps from
+    `geometry.camera.projection_affine` ([direction -1 rows; direction +1
+    rows]).  Returns the (2*S*B, H, W, C) warped stack.  Values match
+    `pallas_warp_tall(src, proj_coords_xla(depth, ab, S))` to FMA
+    contraction; gradients flow to `depth` and `ab`."""
+    out, _, _ = _pallas_warp_tall_proj_impl(src, depth, ab, interpret, S,
+                                            bf16_out, group_rows)
+    return out
+
+
+def _tall_proj_fwd(src, depth, ab, interpret, S, bf16_out, group_rows):
+    out, dx, dy = _pallas_warp_tall_proj_impl(src, depth, ab, interpret, S,
+                                              bf16_out, group_rows)
+    return out, (src, depth, ab, dx, dy)
+
+
+def _tall_proj_bwd(interpret, S, bf16_out, group_rows, residuals, g):
+    src, depth, ab, dx, dy = residuals
+    H, W = src.shape[1], src.shape[2]
+    gf = g.astype(jnp.float32)
+    dcx = (gf * dx.astype(jnp.float32)).sum(axis=-1)
+    dcy = (gf * dy.astype(jnp.float32)).sum(axis=-1)
+    ddepth, dab = proj_vjp_chain(depth, ab, dcx, dcy, S, H, W)
+    return jnp.zeros_like(src), ddepth, dab
+
+
+pallas_warp_tall_proj.defvjp(_tall_proj_fwd, _tall_proj_bwd)
 
 
 def _pallas_warp_static_fused_impl(src, coords, interpret, extra_tiles,

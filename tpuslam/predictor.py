@@ -91,6 +91,7 @@ class DepthPosePrediction:
             pallas_bf16_out=getattr(config, "pallas_bf16_out", False),
             pallas_tall=getattr(config, "pallas_tall", False),
             pallas_fused_bwd=getattr(config, "pallas_fused_bwd", False),
+            pallas_proj=getattr(config, "pallas_proj", False),
             pallas_extra_tiles=getattr(config, "pallas_extra_tiles", 2),
         )
         self.tx = make_adapt_optimizer(

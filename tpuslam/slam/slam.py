@@ -212,6 +212,7 @@ class Slam:
             pallas_bf16_out=getattr(pc, "pallas_bf16_out", False),
             pallas_tall=getattr(pc, "pallas_tall", False),
             pallas_fused_bwd=getattr(pc, "pallas_fused_bwd", False),
+            pallas_proj=getattr(pc, "pallas_proj", False),
             pallas_extra_tiles=getattr(pc, "pallas_extra_tiles", 2),
         )
 

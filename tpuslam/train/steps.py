@@ -43,6 +43,7 @@ from tpuslam.geometry.camera import (
     bilinear_sampler,
     pixel_grid,
     project_3d,
+    projection_affine,
     resize_bilinear,
 )
 from tpuslam.geometry.depth import depth_to_disp, disp_to_depth
@@ -148,6 +149,17 @@ class LossConfig(NamedTuple):
     # gradient-detached, exact because total_loss consumes reproj_maps.
     # Opt-in pending on-silicon measurement.
     pallas_fused_bwd: bool = False
+    # `pallas_proj` (requires pallas_tall): compute the warp coordinates
+    # IN-KERNEL from depth + a per-(direction, batch) affine camera map
+    # (geometry.camera.projection_affine) instead of materialising the
+    # (2*S*B, H, W, 2) coordinate field — the XLA backproject/project
+    # stage and its points/coords HBM round trips (~100+ MB/iter at
+    # 192x640 batch 3) disappear; the projection VJP is an elementwise
+    # XLA recompute fused into the tap-differential contraction
+    # (ops/pallas_warp.py::pallas_warp_tall_proj).  Values match the
+    # two-stage chain to f32 association.  Opt-in pending on-silicon
+    # measurement.
+    pallas_proj: bool = False
     # Anti-collapse log-mean-disparity prior (losses/photometric.py) for
     # low-parallax pretraining; 0 disables.  The Pretrainer activates it for
     # the first `scale_prior_epochs` epochs only.  The target is a metric
@@ -261,11 +273,24 @@ def warp_and_loss(
         outputs[("disp", s)] = disp
 
     depth_stack = jnp.concatenate(depths, axis=0)  # (S*B, H, W, 1)
-    points = backproject_depth(depth_stack, tile(batch.inv_K, S), pix)
+    use_tall = (cfg.use_pallas_warp and cfg.pallas_tall and H % 8 == 0
+                and W % 128 == 0 and W >= 384)
+    use_proj = use_tall and cfg.pallas_proj
     T_stack = jnp.concatenate([tile(T_prev, S), tile(T_next, S)], axis=0)
-    coords = project_3d(
-        jnp.tile(points, (2, 1, 1)), tile(batch.K, 2 * S), T_stack, H, W
-    )  # (2*S*B, H, W, 2)
+    if use_proj:
+        # in-kernel projection: the (points, coords) stacks never exist —
+        # only the per-(direction, batch) affine maps leave XLA
+        ab = projection_affine(
+            jnp.tile(batch.K, (2, 1, 1)),
+            jnp.tile(batch.inv_K, (2, 1, 1)),
+            jnp.concatenate([T_prev, T_next], axis=0),
+        )
+        coords = None
+    else:
+        points = backproject_depth(depth_stack, tile(batch.inv_K, S), pix)
+        coords = project_3d(
+            jnp.tile(points, (2, 1, 1)), tile(batch.K, 2 * S), T_stack, H, W
+        )  # (2*S*B, H, W, 2)
     # The sampler can gather uint8 sources directly (bit-identical, 4x less
     # gather traffic — see bilinear_sampler); measured on the dev relay the
     # extra convert pass makes it ~9% slower there, so the f32 path stays
@@ -273,16 +298,17 @@ def warp_and_loss(
     min_h = 8 + 16 * cfg.pallas_extra_tiles
     interpret = jax.default_backend() != "tpu"
     err_all = None
-    if (cfg.use_pallas_warp and cfg.pallas_tall and H % 8 == 0
-            and W % 128 == 0 and W >= 384):
-        from tpuslam.ops.pallas_warp import pallas_warp_tall
+    if use_tall:
+        from tpuslam.ops.pallas_warp import (pallas_warp_tall,
+                                             pallas_warp_tall_proj)
 
         # deduped sources: the tall kernel scale-tiles in VMEM
         src2 = jnp.concatenate([batch.frame(-1), batch.frame(1)], axis=0)
         fuse_bwd = False
         if cfg.pallas_fused_loss and cfg.pallas_fused_bwd:
             from tpuslam.ops.pallas_fused import (fits_vmem_fused_bwd,
-                                                  warp_reproj_err)
+                                                  warp_reproj_err,
+                                                  warp_reproj_err_proj)
             from tpuslam.ops.pallas_loss import fits_vmem
 
             C = src2.shape[-1]
@@ -294,9 +320,19 @@ def warp_and_loss(
             # round-trips HBM.  The warped by-product is gradient-
             # detached, which is exact here: with reproj_maps handed to
             # total_loss the rgb outputs never re-enter the loss graph.
-            err_all, warped = warp_reproj_err(
-                src2, coords, batch.frame(0), interpret, S,
-                cfg.pallas_bf16_out,
+            if use_proj:
+                err_all, warped = warp_reproj_err_proj(
+                    src2, depth_stack, ab, batch.frame(0), interpret, S,
+                    cfg.pallas_bf16_out,
+                )
+            else:
+                err_all, warped = warp_reproj_err(
+                    src2, coords, batch.frame(0), interpret, S,
+                    cfg.pallas_bf16_out,
+                )
+        elif use_proj:
+            warped = pallas_warp_tall_proj(
+                src2, depth_stack, ab, interpret, S, cfg.pallas_bf16_out
             )
         else:
             warped = pallas_warp_tall(

@@ -407,6 +407,17 @@ def analytic_bytes(height: int = 192, width: int = 640, batch: int = 3,
         + maps * out_img + B * img + err_maps + 2 * maps * out_img
         + coords
     )
+    # in-kernel projection (pallas_proj): the kernel reads the (S*B, H, W)
+    # depth blocks (each pixel once per direction) + 12 SMEM scalars per
+    # sample instead of the materialised coordinate field; the bwd chain
+    # re-reads depth and writes d(depth) around the same dc cotangent
+    depth_k = scales * B * H * W * D
+    warp_loss_fused_bwd_proj = (
+        src_stripes + 2 * depth_k + 3 * maps * out_img
+        + maps * out_img + B * img + err_maps
+        + maps * out_img + B * img + err_maps + 2 * maps * out_img
+        + coords  # dc cotangent write + chain read (unchanged layout)
+    )
 
     # XLA loss: 8 pred reads + 8 target reads + identity (2) + per-pixel
     # loss surfaces fwd/bwd (~3x input traffic for SSIM stats + automask)
@@ -431,12 +442,16 @@ def analytic_bytes(height: int = 192, width: int = 640, batch: int = 3,
         "warp_pallas_fused_fwd_bwd": warp_fused,
         "warp_tall_fwd_bwd": warp_tall,
         "warp_loss_fused_bwd": warp_loss_fused_bwd,
+        "warp_loss_fused_bwd_proj": warp_loss_fused_bwd_proj,
         "loss_fwd_bwd": loss,
         "loss_pallas_fwd_bwd": loss_fused,
         "adam_update": adam,
         # supporting XLA stages of the fused pipeline (for the composed
         # projection): coordinate production fwd+bwd, min-mask/smoothness
         "coords_fwd_bwd": 4 * (scales * B * H * W * (1 + 3 + 2) * D),
+        # with pallas_proj the XLA stage shrinks to the depth re-read +
+        # d(depth) write of the VJP chain (the affine maps are ~bytes)
+        "coords_fwd_bwd_proj": 2 * depth_k,
         "mask_smooth": 3 * maps * H * W * 4 + 2 * B * img,
     }
 
@@ -477,6 +492,7 @@ def project_native_fps_fused(
     width: int = 640,
     batch: int = 3,
     fused_bwd: bool = False,
+    proj: bool = False,
 ) -> Dict[str, float]:
     """Analytic native-v5e projection for the ROUND-4 FUSED PIPELINE:
     tall column-stripe warp (deduped sources, fused gradient) + fused VMEM
@@ -508,7 +524,11 @@ def project_native_fps_fused(
                  act * ana["encoder_fwd"] / PEAK_HBM_GBS * 1e3 / hbm_eff)
     dec_ms = max(_DECODER_GFLOPS * 2.2 * 1e9 / peak * 1e3 / mxu_eff,
                  act * ana["decoder_fwd"] * 2.2 / PEAK_HBM_GBS * 1e3 / hbm_eff)
-    if fused_bwd:
+    if fused_bwd and proj:
+        # composite backward + in-kernel projection (pallas_proj): the
+        # points/coords production and its round trips are gone too
+        warp_loss = {"warp_loss": hbm_ms("warp_loss_fused_bwd_proj")}
+    elif fused_bwd:
         # composite backward (ops/pallas_fused.py): warp + loss ride one
         # traffic class, the dpred round-trip is gone
         warp_loss = {"warp_loss": hbm_ms("warp_loss_fused_bwd")}
@@ -518,7 +538,8 @@ def project_native_fps_fused(
     parts = {
         "dec": dec_ms,
         **warp_loss,
-        "coords": hbm_ms("coords_fwd_bwd"),
+        "coords": hbm_ms("coords_fwd_bwd_proj" if proj
+                         else "coords_fwd_bwd"),
         "mask_smooth": hbm_ms("mask_smooth"),
         "adam": hbm_ms("adam_update"),
     }
@@ -546,11 +567,12 @@ def main() -> None:
     for k, v in proj.items():
         print(f"{k}: {v}")
     for bf16 in (False, True):
-        for fused_bwd in (False, True):
+        for fused_bwd, proj in ((False, False), (True, False), (True, True)):
             for mxu, hbm in ((0.4, 0.55), (0.45, 0.7)):
                 print(project_native_fps_fused(bf16=bf16, mxu_eff=mxu,
                                                hbm_eff=hbm,
-                                               fused_bwd=fused_bwd))
+                                               fused_bwd=fused_bwd,
+                                               proj=proj))
 
 
 if __name__ == "__main__":
