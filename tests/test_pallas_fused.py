@@ -94,10 +94,12 @@ def test_warped_output_is_detached(rng):
 
 
 def test_fits_vmem_fused_bwd_gate():
-    # production shape: f32 taps exceed the budget, bf16 taps fit
-    assert not fits_vmem_fused_bwd(192, 640, 3, bf16_taps=False)
+    # with row-slab windowing the production shape fits regardless of tap
+    # dtype (the slab, not the image, sizes the VMEM stack)
+    assert fits_vmem_fused_bwd(192, 640, 3, bf16_taps=False)
     assert fits_vmem_fused_bwd(192, 640, 3, bf16_taps=True)
     assert fits_vmem_fused_bwd(96, 320, 3, bf16_taps=False)
+    assert not fits_vmem_fused_bwd(1024, 2048, 3, bf16_taps=True)
 
 
 def test_warp_and_loss_fused_bwd_matches_unfused(rng):
@@ -262,3 +264,37 @@ def test_warp_and_loss_proj_fused_matches_unfused(rng):
     g_off = np.asarray(jax.grad(lambda d: loss(False, d))(disps[("disp", 0)]))
     g_on = np.asarray(jax.grad(lambda d: loss(True, d))(disps[("disp", 0)]))
     np.testing.assert_allclose(g_on, g_off, atol=1e-5, rtol=1e-3)
+
+
+def test_composite_windowed_slabs_gradient(monkeypatch):
+    """Row-slab windowed fused backward (BH < H): dcoords must equal the
+    two-op autodiff chain — exercises the dc kernel's halo windows, per-
+    channel vjp slabs, and tap-differential slab contraction."""
+    import tpuslam.ops.pallas_loss as loss_mod
+
+    monkeypatch.setattr(loss_mod, "_STACK_BUDGET_BYTES", 3 * 1024 * 1024)
+    h, w, b, s = 96, 384, 1, 2  # >= SWIN_W for the tall warp kernel
+    assert loss_mod._pick_block_h(h, w) not in (0, h)
+    rng2 = np.random.default_rng(11)
+    src2 = jnp.asarray(rng2.uniform(size=(2 * b, h, w, C)).astype(np.float32))
+    target = jnp.asarray(rng2.uniform(size=(b, h, w, C)).astype(np.float32))
+    gx, gy = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32), indexing="xy")
+    coords = jnp.asarray(np.stack([
+        np.stack([gx + 2.5 * np.sin(gy / h * (2 + k)),
+                  gy + 6.0 * np.cos(gx / w * (1 + 0.3 * k))], axis=-1)
+        for k in range(s * 2 * b)
+    ]).astype(np.float32))
+    wgt = jnp.asarray(rng2.uniform(size=(s * 2 * b, h, w)).astype(np.float32))
+
+    def loss_fused(c):
+        err, _ = warp_reproj_err(src2, c, target, True, s)
+        return (err * wgt).sum()
+
+    def loss_two_op(c):
+        warped = pallas_warp_tall(src2, c, True, s)
+        return (pallas_reproj_err(warped, target, True) * wgt).sum()
+
+    g_fused = np.asarray(jax.grad(loss_fused)(coords))
+    g_ref = np.asarray(jax.grad(loss_two_op)(coords))
+    np.testing.assert_allclose(g_fused, g_ref, atol=1e-5, rtol=1e-5)

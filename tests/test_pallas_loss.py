@@ -117,3 +117,34 @@ def test_warp_and_loss_integration():
     np.testing.assert_allclose(
         np.asarray(g_on), np.asarray(g_off), atol=1e-6, rtol=1e-4
     )
+
+
+def test_windowed_slabs_match_xla(monkeypatch):
+    """Row-slab windowing (BH < H): forward and backward must equal the
+    full-image XLA composition exactly — exercises the halo windows, the
+    3-way slab select, and the backward's cotangent row masking."""
+    import tpuslam.ops.pallas_loss as mod
+
+    h, w, b, k = 96, 256, 1, 4
+    n = k * b
+    monkeypatch.setattr(mod, "_STACK_BUDGET_BYTES", 2 * 1024 * 1024)
+    assert mod._pick_block_h(h, w) not in (0, h)  # forced windowed path
+    rng = np.random.default_rng(3)
+    preds = jnp.asarray(rng.uniform(size=(n, h, w, C)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(size=(b, h, w, C)).astype(np.float32))
+    tiled = jnp.tile(target, (k, 1, 1, 1))
+
+    got = pallas_reproj_err(preds, target, True)
+    want = reprojection_loss(preds, tiled)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-6)
+
+    gmask = jnp.asarray(rng.uniform(size=(n, h, w)).astype(np.float32))
+    g_pallas = jax.grad(
+        lambda p: (pallas_reproj_err(p, target, True) * gmask).sum()
+    )(preds)
+    g_xla = jax.grad(
+        lambda p: (reprojection_loss(p, tiled) * gmask).sum()
+    )(preds)
+    np.testing.assert_allclose(
+        np.asarray(g_pallas), np.asarray(g_xla), atol=5e-6
+    )

@@ -1,0 +1,56 @@
+#!/usr/bin/env bash
+# Round-4 follow-up relay session: run AFTER tools/relay_session.sh drains.
+# Captures (a) the in-kernel-projection bench A/B back-to-back with its
+# non-proj twin (same session, comparable), (b) the post-proj K-sweep
+# slice split (VERDICT r3 #8), and (c) the 192x640 parallax-SNR stress
+# pretrain (VERDICT r3 #4).  One step at a time — this box has ONE core.
+set -u
+cd "$(dirname "$0")/.."
+ts=$(date +%Y%m%d_%H%M%S)
+out="log/relay_session2_${ts}.log"
+mkdir -p log
+run() {
+  local t=$1; shift
+  echo "=== $* ===" | tee -a "$out"
+  timeout "$t" "$@" 2>&1 | tail -25 | tee -a "$out"
+  echo | tee -a "$out"
+}
+
+probe_ok=""
+for attempt in 1 2 3 4 5; do
+  echo "probe (attempt $attempt)..." | tee -a "$out"
+  if timeout 120 python -c "
+import jax, jax.numpy as jnp
+print('relay OK', float((jnp.ones((256,256))@jnp.ones((256,256)))[0,0]))
+" 2>&1 | tee -a "$out" | grep -q "relay OK"; then probe_ok=1; break; fi
+  sleep 60
+done
+[ -n "$probe_ok" ] || { echo "RELAY STILL DOWN" | tee -a "$out"; exit 1; }
+
+# 0b. baseline twin for this session (defaults measured 9.17 in session 1)
+run 1000 python bench.py --e2e-frames 0
+
+# 1. fused-loss re-runs (the session-1 full-image kernel OOMed scoped
+# VMEM at 192x640; re-measured with the row-slab windowed kernels) and
+# the proj A/B, back-to-back (all full fused stack)
+run 1000 python bench.py --fused-loss --e2e-frames 0
+run 1000 python bench.py --tall --bf16-out --fused-loss --e2e-frames 0
+run 1000 python bench.py --tall --bf16-out --fused-loss --fused-bwd --e2e-frames 0
+run 1000 python bench.py --tall --bf16-out --fused-loss --fused-bwd --proj --e2e-frames 0
+
+# 2. post-proj K-sweep slice split at shipped vs fused-stack knobs
+run 1000 python -c "
+from tpuslam.utils.profiling import profile_adapt_step
+print('defaults:', profile_adapt_step(repeats=4))
+print('fused+proj:', profile_adapt_step(repeats=4, loss_overrides=dict(
+    pallas_tall=True, pallas_fused_loss=True, pallas_fused_bwd=True,
+    pallas_proj=True, pallas_bf16_out=True)))
+"
+
+# 3. parallax-SNR stress test: collapse regime at 192x640 (2x pixel
+# parallax of the 96x320 runs) — abs_rel < 0.30 validates the SNR claim,
+# flat abs_rel falsifies it (VERDICT r3 #4)
+run 5400 python -m tpuslam.cli.pretrain \
+    --config tpuslam/config/defaults/pretrain_collapse_synthetic_192.yaml
+
+echo "DONE -> $out"

@@ -35,37 +35,47 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuslam.ops.pallas_loss import _err_math, _reproj_err_impl
+from tpuslam.ops.pallas_loss import (_err_math_c, _pick_block_h,
+                                     _reproj_err_impl, _select_slab,
+                                     _slab_scalars, _window_specs)
 from tpuslam.ops.pallas_warp import (TILE_H, _pallas_warp_tall_impl,
                                      _pallas_warp_tall_proj_impl,
                                      proj_vjp_chain)
 
-# VMEM working set of the fused backward block set: pred + dx + dy (tap
-# dtype) + target (f32) + g (H, W) + dcoords out (2, H, W), double
-# buffered.  Same budget philosophy as ops/pallas_loss.py::fits_vmem.
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
-
 
 def fits_vmem_fused_bwd(H: int, W: int, C: int, bf16_taps: bool) -> bool:
-    tap = 2 if bf16_taps else 4
-    per_step = (3 * C * H * W * tap      # pred, dx, dy
-                + C * H * W * 4          # target
-                + H * W * 4              # g
-                + 2 * H * W * 4)         # dcoords block
-    return 2 * per_step < _VMEM_BUDGET_BYTES
+    """The fused backward uses the same per-channel vjp recompute and
+    row-slab windowing as ops/pallas_loss.py, so its stack budget is the
+    same `_pick_block_h` gate; the extra dx/dy slab operands are small.
+    `bf16_taps` no longer changes feasibility (kept for the call sites)."""
+    return _pick_block_h(H, W) > 0
 
 
-def _err_bwd_coords_kernel(pred_ref, tgt_ref, g_ref, dx_ref, dy_ref, dc_ref):
-    """Recompute d(err)/d(pred) in VMEM and contract with the warp tap
-    differentials: dcoords_x = sum_C dpred * dx, dcoords_y likewise."""
-    x = pred_ref[0].astype(jnp.float32)
-    y = tgt_ref[0].astype(jnp.float32)
-    _, vjp = jax.vjp(lambda p: _err_math(p, y), x)
-    dpred = vjp(g_ref[0])[0]  # (C, H, W) f32, never leaves VMEM
-    dx = dx_ref[0].astype(jnp.float32)
-    dy = dy_ref[0].astype(jnp.float32)
-    dc_ref[0, 0] = (dpred * dx).sum(axis=0)
-    dc_ref[0, 1] = (dpred * dy).sum(axis=0)
+def _err_bwd_coords_kernel(pred_ref, tgt_ref, g_ref, dx_ref, dy_ref, dc_ref,
+                           *, H, BH):
+    """Recompute d(err)/d(pred) in VMEM (one jax.vjp PER CHANNEL over this
+    grid step's row slab — see ops/pallas_loss.py::_err_bwd_kernel for the
+    masking/halo argument) and contract with the warp tap differentials:
+    dcoords_x = sum_C dpred * dx, dcoords_y likewise."""
+    ys, off = _slab_scalars(H, BH)
+    C = pred_ref.shape[1]
+    g = g_ref[0]
+    if BH != H:
+        i = pl.program_id(1)
+        row = ys + jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+        g = jnp.where((row >= i * BH - 1) & (row <= i * BH + BH), g, 0.0)
+    acc_x = acc_y = None
+    for c in range(C):
+        y = tgt_ref[0, c].astype(jnp.float32)
+        _, vjp = jax.vjp(lambda p, y=y: _err_math_c(p, y),
+                         pred_ref[0, c].astype(jnp.float32))
+        dpred = _select_slab(vjp(g)[0], off, BH) / C  # (BH, W), VMEM only
+        px = dpred * dx_ref[0, c].astype(jnp.float32)
+        py = dpred * dy_ref[0, c].astype(jnp.float32)
+        acc_x = px if acc_x is None else acc_x + px
+        acc_y = py if acc_y is None else acc_y + py
+    dc_ref[0, 0] = acc_x
+    dc_ref[0, 1] = acc_y
 
 
 def _live(v: jax.Array, hi: float) -> jax.Array:
@@ -108,29 +118,26 @@ def _fwd(src2, coords, target, interpret, S, bf16_out, group_rows):
 def _dc_from_err_bwd(out, target, g_err, dx, dy, interpret):
     """Run the fused backward kernel: recompute d(err)/d(pred) in VMEM and
     contract with the tap differentials, returning the raw (N, 2, H, W)
-    coordinate cotangents (boundary masking is the caller's)."""
+    coordinate cotangents (boundary masking is the caller's).  Pred,
+    target and g ride halo windows (ops/pallas_loss.py::_window_specs);
+    the tap differentials are plain row slabs — the contraction is
+    elementwise in pred rows."""
     N, C, H, W = out.shape[0], out.shape[3], out.shape[1], out.shape[2]
     B = target.shape[0]
+    BH = _pick_block_h(H, W)
+    assert BH > 0, (H, W)
+    spec = _window_specs(N, B, C, H, W, BH, with_g=True)
+    slab = pl.BlockSpec((1, C, BH, W), lambda b, i, k: (k * B + b, 0, i, 0),
+                        memory_space=pltpu.VMEM)
+    spec["in_specs"].extend([slab, slab])
     return pl.pallas_call(
-        _err_bwd_coords_kernel,
-        grid=(B, N // B),
-        in_specs=[
-            pl.BlockSpec((1, C, H, W), lambda b, k: (k * B + b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # constant across k: target DMA issued once per batch row
-            pl.BlockSpec((1, C, H, W), lambda b, k: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda b, k: (k * B + b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, H, W), lambda b, k: (k * B + b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, H, W), lambda b, k: (k * B + b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        partial(_err_bwd_coords_kernel, H=H, BH=BH),
         out_shape=jax.ShapeDtypeStruct((N, 2, H, W), jnp.float32),
-        out_specs=pl.BlockSpec((1, 2, H, W), lambda b, k: (k * B + b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, BH, W),
+                               lambda b, i, k: (k * B + b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        **spec,
     )(
         out.transpose(0, 3, 1, 2),
         target.transpose(0, 3, 1, 2),

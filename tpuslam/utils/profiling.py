@@ -266,8 +266,14 @@ def profile_adapt_step(
     repeats: int = 8,
     use_pallas_warp: bool = True,
     seed: int = 0,
+    loss_overrides: Optional[Dict[str, object]] = None,
 ) -> Dict[str, float]:
     """Fixed-cost / per-iteration split of the fused adapt step by K-sweep.
+
+    `loss_overrides` forwards extra LossConfig fields (e.g. the round-4
+    fused-pipeline knobs pallas_tall/pallas_fused_loss/pallas_fused_bwd/
+    pallas_proj/pallas_bf16_out) so the K-sweep can size the slices of any
+    variant pipeline (VERDICT r3 #8).
 
     Runs `adapt_step` at each K in `iters` with chained state (true device
     dependency; a final scalar readback syncs — `block_until_ready` is
@@ -308,7 +314,8 @@ def profile_adapt_step(
 
     training = concat_batches(batch(1), batch(batch_size - 1)) \
         if batch_size > 1 else batch(1)
-    cfg = LossConfig(use_pallas_warp=use_pallas_warp)
+    cfg = LossConfig(use_pallas_warp=use_pallas_warp,
+                     **(loss_overrides or {}))
     tx = make_adapt_optimizer(variables["params"], 1e-4)
 
     times = {}
