@@ -38,6 +38,12 @@ run 1000 python bench.py --tall --bf16-out --fused-loss --e2e-frames 0
 run 1000 python bench.py --tall --bf16-out --fused-loss --fused-bwd --e2e-frames 0
 run 1000 python bench.py --tall --bf16-out --fused-loss --fused-bwd --proj --e2e-frames 0
 
+# 1b. e2e pipeline-depth A/B (VERDICT r3 #3; moved from session 1's tail)
+run 1000 python -m tpuslam.cli.adapt --config tpuslam/config/defaults/adapt_synthetic.yaml \
+    --max-steps 40 --no-progress --pipeline-depth 0
+run 1000 python -m tpuslam.cli.adapt --config tpuslam/config/defaults/adapt_synthetic.yaml \
+    --max-steps 40 --no-progress --pipeline-depth 3
+
 # 2. post-proj K-sweep slice split at shipped vs fused-stack knobs
 run 1000 python -c "
 from tpuslam.utils.profiling import profile_adapt_step
