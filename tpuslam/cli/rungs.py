@@ -98,6 +98,12 @@ def main(argv=None) -> int:
         help="conv compute dtype override (quality/speed A/B; params stay f32)",
     )
     ap.add_argument(
+        "--depth-lr-scale", type=float, default=None,
+        help="adapt_depth_lr_scale override (depth decoder adapts at "
+             "learning_rate * scale; 1.0 reference-exact, 0.0 freezes the "
+             "depth head online) — the VERDICT r3 #5 trade-off A/B knob",
+    )
+    ap.add_argument(
         "--warp", default=None,
         choices=["dense", "packed", "seg_skip", "group_skip", "tall"],
         help="pallas warp gather variant override (quality/speed A/B): "
@@ -135,6 +141,11 @@ def main(argv=None) -> int:
             batch_size=batch_size, scales=(0, 1, 2, 3), max_depth=80.0,
             log_path=args.log / tag, load_weights_folder=args.weights,
             **({"dtype": args.dtype} if args.dtype else {}),
+            **(
+                {"adapt_depth_lr_scale": args.depth_lr_scale}
+                if args.depth_lr_scale is not None
+                else {}
+            ),
             **warp_kwargs,
         )
         defaults = dict(

@@ -141,7 +141,10 @@ def _slab_scalars(H: int, BH: int):
     if BH == H:
         return 0, 0
     win_h = BH + 2 * HALO
-    ys = jnp.clip(i * BH - HALO, 0, H - win_h)
+    # computed in HALO(=16-row tile) units then scaled, so Mosaic can prove
+    # the offset's 8/16-row tiling divisibility without reasoning through
+    # clip (the pallas_warp _window_origin idiom — CLAUDE.md relay rule)
+    ys = jnp.clip(i * (BH // HALO) - 1, 0, (H - win_h) // HALO) * HALO
     return ys, i * BH - ys  # off in {0, HALO, 2*HALO}
 
 
@@ -200,7 +203,9 @@ def _window_specs(N, B, C, H, W, BH, with_g=False):
     def ys(i):
         if BH == H:
             return 0
-        return jnp.clip(i * BH - HALO, 0, H - win_h)
+        # tile-unit clip then scale — provably 16-row aligned (see
+        # _slab_scalars)
+        return jnp.clip(i * (BH // HALO) - 1, 0, (H - win_h) // HALO) * HALO
 
     img_win = (Element(1), Element(C), Element(win_h), Element(W))
     in_specs = [
