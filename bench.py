@@ -187,9 +187,40 @@ def main() -> None:
         "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
         "host_ms_per_frame": host["ms_total_host"],
     }
+    line.update(_utilization(args, fps))
     if e2e is not None:
         line["e2e_fps"] = e2e
     print(json.dumps(line))
+
+
+def _utilization(args, fps: float) -> dict:
+    """Utilization fields for the JSON line (VERDICT r4 #3): the native-v5e
+    speed-of-light frame time for the MEASURED config (analytic fused bytes
+    + calibrated conv FLOPs — utils/calibration.py::frame_sol_ms),
+    `roofline_frac` = sol / measured (on the relay this is small and that
+    smallness IS the relay tax — BASELINE.md "reading roofline_frac"), and
+    the projected native fps at the expected (0.45 MXU / 0.7 HBM) and
+    conservative (0.40/0.55) sustained efficiencies, so BENCH_r*.json can
+    distinguish relay-slow from genuinely inefficient."""
+    from tpuslam.utils.calibration import frame_sol_ms
+
+    kw = dict(adapt_iters=ADAPT_ITERS, bf16=(args.dtype == "bfloat16"),
+              tall=args.tall, fused_loss=args.fused_loss,
+              fused_bwd=args.fused_bwd, proj=args.proj,
+              bf16_out=args.bf16_out,
+              extra_tiles=(args.extra_tiles if args.extra_tiles is not None
+                           else 2),
+              height=HEIGHT, width=WIDTH)
+    sol_ms = frame_sol_ms(**kw)
+    measured_ms = 1e3 / fps if fps > 0 else float("inf")
+    expected = 1e3 / frame_sol_ms(mxu_eff=0.45, hbm_eff=0.7, **kw)
+    conservative = 1e3 / frame_sol_ms(mxu_eff=0.40, hbm_eff=0.55, **kw)
+    return {
+        "sol_ms_frame": round(sol_ms, 3),
+        "roofline_frac": round(sol_ms / measured_ms, 4),
+        "proj_native_fps": round(expected, 1),
+        "proj_native_fps_conservative": round(conservative, 1),
+    }
 
 
 def _e2e_fps(frames: int, pipeline_depth) -> float:

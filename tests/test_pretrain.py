@@ -76,3 +76,36 @@ def test_pretrainer_depth_panel(tmp_path):
                          log_path=tmp_path)
     out = trainer.save_depth_panel(ds)
     assert out.exists() and out.suffix == ".png"
+
+
+@pytest.mark.slow
+def test_validate_undersized_split_warns_not_nan(tmp_path, capsys):
+    """A val split smaller than one batch must still produce a finite loss
+    (round-4 regression: 15 epochs of silent validation_loss=nan)."""
+    ds = SyntheticDataset(num_frames=2, height=H, width=W)
+    trainer = Pretrainer(height=H, width=W, scales=(0,), batch_size=4,
+                         log_path=tmp_path)
+    val = trainer.validate(ds)
+    out = capsys.readouterr().out
+    assert np.isfinite(val)
+    assert "smaller than" in out
+
+
+@pytest.mark.slow
+def test_fit_tracks_best_checkpoint(tmp_path):
+    """fit() marks the best epoch by the monitored metric so downstream
+    consumers can load best-not-last (round-4 degrading-pretrain fix)."""
+    from tpuslam.checkpoint.io import best_checkpoint, latest_checkpoint
+
+    ds = SyntheticDataset(num_frames=6, height=H, width=W)
+    trainer = Pretrainer(height=H, width=W, scales=(0,), batch_size=3,
+                         log_path=tmp_path, scheduler_step_size=10)
+    trainer.fit(ds, val_dataset=ds, num_epochs=2, validate=True)
+    best = best_checkpoint(tmp_path)
+    assert best is not None and (best / "params.msgpack").exists()
+    assert latest_checkpoint(tmp_path) is not None
+    # marker records the monitored metric
+    import yaml
+    meta = yaml.safe_load((tmp_path / "models" / "best.yaml").read_text())
+    assert meta["monitor"] == "validation_loss"
+    assert np.isfinite(meta["value"])

@@ -451,3 +451,38 @@ def test_slam_pipeline_skip_frames_retire_in_order(tmp_path):
     # every frame (incl. skipped) was admitted to the replay buffer with
     # its pre-adaptation embedding, like the reference (slam.py:143-153)
     assert len(slam.replay_buffer) >= 1
+
+
+@pytest.mark.slow
+def test_retire_packed_readback_equivalence(tmp_path):
+    """The single-transfer packed retire readback (train/steps.py::
+    _pack_retire, VERDICT r4 #9) must be BIT-equivalent to reading each
+    tensor separately: same trajectory, same metrics, same buffer, with
+    adaptation + loop closures on (deterministic rngs on both sides)."""
+
+    class StripPacked(Slam):
+        """Force the legacy multi-transfer retire path."""
+
+        def _dispatch(self, sample):
+            entry = super()._dispatch(sample)
+            if entry["kind"] == "full":
+                entry["outputs"] = {
+                    k: v for k, v in entry["outputs"].items()
+                    if k != ("retire_packed",)
+                }
+            return entry
+
+    kw = dict(do_loop_closures=True, keyframe_frequency=2,
+              lc_distance_poses=2)
+    packed = Slam(_config(tmp_path / "p", **kw))
+    legacy = StripPacked(_config(tmp_path / "l", **kw))
+    packed.run(max_steps=7, progress=False)
+    legacy.run(max_steps=7, progress=False)
+    assert packed.pose_graph.vertex_ids == legacy.pose_graph.vertex_ids
+    np.testing.assert_array_equal(packed.trajectory(), legacy.trajectory())
+    np.testing.assert_array_equal(packed.rel_trans_error,
+                                  legacy.rel_trans_error)
+    np.testing.assert_array_equal(packed.depth_loss, legacy.depth_loss)
+    assert len(packed.replay_buffer) == len(legacy.replay_buffer)
+    assert (packed.pose_graph.num_loop_closures
+            == legacy.pose_graph.num_loop_closures)

@@ -109,9 +109,15 @@ def smooth_t(disp, img):
     return gdx.flatten(1).mean(1) + gdy.flatten(1).mean(1)
 
 
-def reference_pipeline(data, cfg: LossConfig):
-    """Reference _reconstruct_images + _compute_loss on NCHW tensors."""
+def reference_pipeline(data, cfg: LossConfig, leaves=None):
+    """Reference _reconstruct_images + _compute_loss on NCHW tensors.
+
+    `leaves` optionally overrides entries of `data` with torch tensors
+    (e.g. requires_grad leaves for the backward-parity tests, or decoder
+    outputs carrying a network graph) — same keys/layouts as `data`."""
     t = {k: torch.from_numpy(v) for k, v in data.items() if isinstance(v, np.ndarray)}
+    if leaves:
+        t.update(leaves)
     rgb = {f: t[f"rgb_{f}"].permute(0, 3, 1, 2) for f in (0, -1, 1)}
     pyr = {s: t[f"pyr_{s}"].permute(0, 3, 1, 2) for s in SCALES}
     disps = {s: t[f"disp_{s}"].permute(0, 3, 1, 2) for s in SCALES}

@@ -88,3 +88,33 @@ def latest_checkpoint(log_path: Path) -> Optional[Path]:
         return None
     candidates = sorted(models.glob("weights_*"))
     return candidates[-1] if candidates else None
+
+
+def mark_best_checkpoint(
+    log_path: Path, epoch: int, monitor: str, value: float
+) -> None:
+    """Record which epoch's checkpoint is the best so far (models/best.yaml).
+
+    Written by Pretrainer.fit's best-tracking so downstream consumers (A/B
+    harnesses, cli.rungs --weights) can load the best epoch instead of the
+    last — a degrading run (train loss falling while val depth error rises,
+    the round-4 quality-pretrain failure mode) otherwise silently feeds its
+    worst checkpoint forward."""
+    models = Path(log_path) / "models"
+    models.mkdir(parents=True, exist_ok=True)
+    with open(models / "best.yaml", "w") as f:
+        yaml.safe_dump(
+            {"epoch": epoch, "monitor": monitor, "value": float(value)}, f
+        )
+
+
+def best_checkpoint(log_path: Path) -> Optional[Path]:
+    """The checkpoint dir marked best by `mark_best_checkpoint`, if any
+    (falls back to None — callers chain `or latest_checkpoint(...)`)."""
+    marker = Path(log_path) / "models" / "best.yaml"
+    if not marker.exists():
+        return None
+    with open(marker) as f:
+        meta = yaml.safe_load(f) or {}
+    folder = Path(log_path) / "models" / f"weights_{int(meta['epoch']):03d}"
+    return folder if folder.exists() else None

@@ -17,7 +17,11 @@ import numpy as np
 
 
 def _to_numpy(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy(), np.float32)
+    # copy=True: torch's .numpy() SHARES storage with the tensor, and
+    # np.asarray keeps the alias when dtypes match — an imported tree must
+    # not silently track later in-place mutations of the source module
+    # (e.g. an optimizer.step() in a parity test)
+    return np.array(t.detach().cpu().numpy(), np.float32, copy=True)
 
 
 def _conv(t) -> np.ndarray:

@@ -105,12 +105,24 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--warp", default=None,
-        choices=["dense", "packed", "seg_skip", "group_skip", "tall"],
+        choices=["dense", "packed", "seg_skip", "group_skip", "tall",
+                 "tall_proj"],
         help="pallas warp gather variant override (quality/speed A/B): "
              "dense f32 taps (default), bf16 packed dual-taps, packed + "
              "per-segment sweep predication, tap-identical vertical "
-             "group-predicated sweep, or the round-4 full-height stripe "
-             "kernel with fused loss + bf16 stored outputs",
+             "group-predicated sweep, the round-4 full-height stripe "
+             "kernel with fused loss + bf16 stored outputs, or the full "
+             "fused stack with in-kernel projection + composite backward",
+    )
+    ap.add_argument(
+        "--bf16-out", action="store_true",
+        help="pallas_bf16_out on the default windowed kernel (the "
+             "measured-faster round-4 variant — quality A/B knob)",
+    )
+    ap.add_argument(
+        "--seed", type=int, default=7,
+        help="synthetic-world seed (vary for A/B spread — the round-5 "
+             "multi-seed protocol; 7 = the historical tables)",
     )
     args = ap.parse_args(argv)
     which = {int(r) for r in args.rungs.split(",")}
@@ -137,6 +149,17 @@ def main(argv=None) -> int:
             warp_kwargs["pallas_tall"] = True
             warp_kwargs["pallas_bf16_out"] = True
             warp_kwargs["pallas_fused_loss"] = True
+        elif args.warp == "tall_proj":
+            # the FULL fused stack: in-kernel projection + composite
+            # backward on top of tall+fused_loss (quality side of bench
+            # --tall --bf16-out --fused-loss --fused-bwd --proj)
+            warp_kwargs["pallas_tall"] = True
+            warp_kwargs["pallas_bf16_out"] = True
+            warp_kwargs["pallas_fused_loss"] = True
+            warp_kwargs["pallas_fused_bwd"] = True
+            warp_kwargs["pallas_proj"] = True
+        if args.bf16_out:
+            warp_kwargs["pallas_bf16_out"] = True
         cfg.depth_pose = DepthPoseConfig(
             batch_size=batch_size, scales=(0, 1, 2, 3), max_depth=80.0,
             log_path=args.log / tag, load_weights_folder=args.weights,
@@ -160,10 +183,11 @@ def main(argv=None) -> int:
         cfg.replay_buffer.max_buffer_size = 20
         return cfg
 
-    def world(seed=7, frames=None):
+    def world(seed=None, frames=None):
         return SyntheticDataset(
             num_frames=frames or args.frames, height=args.height,
-            width=args.width, seed=seed, trajectory="loop", speed=0.8,
+            width=args.width, seed=args.seed if seed is None else seed,
+            trajectory="loop", speed=0.8,
         )
 
     print(f"BASELINE config ladder — {args.frames} frames @ "
@@ -183,8 +207,9 @@ def main(argv=None) -> int:
              base_cfg("r4", do_loop_closures=True), world(), diag)
 
     def chained():
-        return ChainedDataset([world(seed=7, frames=args.frames // 2),
-                               world(seed=11, frames=args.frames // 2)])
+        return ChainedDataset(
+            [world(frames=args.frames // 2),
+             world(seed=args.seed + 4, frames=args.frames // 2)])
 
     if 5 in which:
         cfg5 = base_cfg("r5", async_adaptation=True)

@@ -1059,8 +1059,24 @@ def _proj_xy(d, u, v, a, b3):
     return cx / z, cy / z
 
 
+def _smem_row_select(ab_ref, g0, B2, k):
+    """Scalar ab_ref[g0, k] via statically-unrolled loads + a g0 select.
+
+    The relay's Mosaic stack rejects BOTH partial SMEM blocks (a (1, 12)
+    block over the (B2, 12) array — "block shape (1, 12), array shape
+    (6, 12) … in memory space smem") AND, defensively, any dynamic
+    addressing — so the whole array rides one full-shape SMEM block and
+    the per-grid-step row is picked by B2 static loads + scalar selects
+    (scalar-core work, free next to the window DMA)."""
+    val = ab_ref[0, k]
+    for r in range(1, B2):
+        val = jnp.where(g0 == r, ab_ref[r, k], val)
+    return val
+
+
 def _warp_kernel_tall_proj(ab_ref, src_ref, depth_ref, out_ref, dx_ref,
-                           dy_ref, *, H, W, out_h, group_rows):
+                           dy_ref, *, H, W, out_h, group_rows, B2):
+    g0 = pl.program_id(0)
     j = pl.program_id(1)
     i = pl.program_id(2)
     xs = jnp.clip(j - 1, 0, W // TILE_W - 3) * TILE_W
@@ -1069,8 +1085,8 @@ def _warp_kernel_tall_proj(ab_ref, src_ref, depth_ref, out_ref, dx_ref,
     v = (jax.lax.broadcasted_iota(jnp.float32, (out_h, TILE_W), 0)
          + (i * out_h).astype(jnp.float32))
     d = depth_ref[0, 0]
-    a = [ab_ref[0, k] for k in range(9)]
-    b3 = [ab_ref[0, 9 + k] for k in range(3)]
+    a = [_smem_row_select(ab_ref, g0, B2, k) for k in range(9)]
+    b3 = [_smem_row_select(ab_ref, g0, B2, 9 + k) for k in range(3)]
     x, y = _proj_xy(d, u, v, a, b3)
     _tall_sweep_from_xy(src_ref, x, y, xs, out_ref, dx_ref, dy_ref, H=H,
                         W=W, out_h=out_h, group_rows=group_rows)
@@ -1096,9 +1112,11 @@ def _tall_proj_specs(B2, S, B, H, W, C, out_h, n_out):
     return dict(
         grid=(B2, W // TILE_W, H // out_h, S),
         in_specs=[
-            # per-(direction, batch) affine map — 12 scalars in SMEM,
-            # constant across the j/i/s grid dims
-            pl.BlockSpec((1, 12), lambda g0, j, i, s: (g0, 0),
+            # per-(direction, batch) affine maps — 12 scalars per g0 row.
+            # One FULL-SHAPE SMEM block (Mosaic rejects partial SMEM
+            # blocks); the kernel selects its g0 row with static loads
+            # (_smem_row_select).
+            pl.BlockSpec((B2, 12), lambda g0, j, i, s: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (Element(1), Element(C), Element(H), Element(SWIN_W)),
@@ -1125,7 +1143,7 @@ def _pallas_warp_tall_proj_impl(src, depth, ab, interpret, S, bf16_out,
     dtype = jnp.bfloat16 if bf16_out else jnp.float32
     shape = jax.ShapeDtypeStruct((N, C, H, W), dtype)
     kernel = partial(_warp_kernel_tall_proj, H=H, W=W, out_h=out_h,
-                     group_rows=group_rows)
+                     group_rows=group_rows, B2=B2)
     out, dx, dy = pl.pallas_call(
         kernel,
         out_shape=(shape, shape, shape),

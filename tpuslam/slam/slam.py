@@ -341,6 +341,8 @@ class Slam:
                 self._mobilenet_vars, jnp.asarray(sample.rgb[2][None])
             )
             return np.asarray(l2_normalize(emb))[0]
+        if getattr(self, "_packed_lc_embedding", None) is not None:
+            return self._packed_lc_embedding  # already on host (one transfer)
         if ("lc_embedding",) in outputs:
             return np.asarray(outputs[("lc_embedding",)])[0]
         emb = _embed_frame(
@@ -484,14 +486,20 @@ class Slam:
             arrs = [entry["embedding"]]
         else:
             losses, outputs = entry["losses"], entry["outputs"]
-            arrs = [
-                outputs[("embedding",)],
-                outputs[("cam_T_cam", 0, 1)],
-                losses.get("depth_loss"),
-                losses.get("velocity_loss"),
-                losses.get("loss"),
-                outputs.get(("lc_embedding",)),
-            ]
+            if ("retire_packed",) in outputs:
+                # one packed vector carries pose + embedding + losses (+ LC
+                # embedding): a single device->host transfer per frame
+                # (train/steps.py::_pack_retire, VERDICT r4 #9)
+                arrs = [outputs[("retire_packed",)]]
+            else:
+                arrs = [
+                    outputs[("embedding",)],
+                    outputs[("cam_T_cam", 0, 1)],
+                    losses.get("depth_loss"),
+                    losses.get("velocity_loss"),
+                    losses.get("loss"),
+                    outputs.get(("lc_embedding",)),
+                ]
             if self.logging and entry["sample"].depth is not None:
                 arrs.append(outputs.get(("depth", 0)))
         for a in arrs:
@@ -521,21 +529,34 @@ class Slam:
             return {"depth_loss": 0.0, "velocity_loss": 0.0}
         losses, outputs = entry["losses"], entry["outputs"]
 
-        embedding = np.asarray(outputs[("embedding",)])[0]
+        packed = outputs.get(("retire_packed",))
+        self._packed_lc_embedding = None
+        if packed is not None:
+            # ONE transfer for everything this phase reads (the layout of
+            # train/steps.py::_pack_retire, recovered from shapes)
+            flat = np.asarray(packed)
+            D = int(outputs[("embedding",)].shape[-1])
+            T01 = np.asarray(flat[:16].reshape(4, 4), np.float64)
+            embedding = flat[16:16 + D]
+            dl, vl, tl = (float(x) for x in flat[16 + D:19 + D])
+            if ("lc_embedding",) in outputs:
+                self._packed_lc_embedding = flat[19 + D:]
+            losses_out = {"depth_loss": dl, "velocity_loss": vl, "loss": tl}
+        else:
+            embedding = np.asarray(outputs[("embedding",)])[0]
+            T01 = np.asarray(outputs[("cam_T_cam", 0, 1)][0], np.float64)
+            losses_out = {
+                "depth_loss": float(losses.get("depth_loss", 0.0)),
+                "velocity_loss": float(losses.get("velocity_loss", 0.0)),
+                "loss": float(losses.get("loss", 0.0)),
+            }
         if self.replay_buffer is not None:
             self.replay_buffer.add(sample, embedding)
 
-        T01 = np.asarray(outputs[("cam_T_cam", 0, 1)][0], np.float64)
         if float(np.sign(sample.rel_dist[1])) < 0:
             transformation = T01  # reversing
         else:
             transformation = np.linalg.inv(T01)
-
-        losses_out = {
-            "depth_loss": float(losses.get("depth_loss", 0.0)),
-            "velocity_loss": float(losses.get("velocity_loss", 0.0)),
-            "loss": float(losses.get("loss", 0.0)),
-        }
         if not np.isfinite(losses_out["loss"]):
             # hard failure like the reference (depth_pose_prediction.py:1115-1118)
             raise RuntimeError(f"NaN loss at step {step_id}: {losses_out}")

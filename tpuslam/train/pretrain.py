@@ -191,7 +191,36 @@ class Pretrainer:
             # round trip per batch otherwise)
             losses.append(step_losses["loss"])
         if not losses:
-            return float("nan")
+            # Val split smaller than one batch: pad by cycling samples to
+            # the static batch shape so validation still measures something
+            # (round-4 regression: an undersized split silently logged
+            # validation_loss=nan for a whole run).
+            n = len(dataset)
+            if n == 0:
+                print(
+                    "WARNING: validate(): empty val dataset — returning nan"
+                )
+                return float("nan")
+            print(
+                f"WARNING: validate(): val split ({n} samples) smaller than "
+                f"batch_size ({self.batch_size}) — evaluating one batch "
+                "padded by cycling samples"
+            )
+            samples = [dataset[i % n] for i in range(self.batch_size)]
+            mask = None
+            if all(s.mask is not None for s in samples):
+                mask = np.stack([s.mask for s in samples])
+            batch = make_frame_batch(
+                np.stack([s.rgb for s in samples]),
+                np.stack([s.K for s in samples]),
+                np.stack([s.rel_dist for s in samples]),
+                rgb_aug=np.stack([s.aug for s in samples]),
+                mask=mask,
+            )
+            step_losses, _ = eval_step(
+                self.model, self.cfg, self.state.params, self.state.batch_stats, batch
+            )
+            losses.append(step_losses["loss"])
         return float(np.mean(np.asarray(jax.numpy.stack(losses))))
 
     def compute_depth_error(
@@ -350,7 +379,26 @@ class Pretrainer:
         save_val_depth: int = 0,
         image_logger=None,
         val_batches: Optional[int] = None,
+        monitor: Optional[str] = None,
     ):
+        """Train for `num_epochs`; tracks the best epoch by `monitor`.
+
+        `monitor` defaults to abs_rel when depth_error is on, else
+        validation_loss when validating, else training_loss (lower is
+        better for all three).  Each time the monitored value improves the
+        checkpoint is saved and marked via `mark_best_checkpoint`, so a run
+        whose quality degrades while train loss falls (round-4 failure
+        mode) still leaves its best epoch on disk for downstream use."""
+        from tpuslam.checkpoint.io import mark_best_checkpoint
+
+        if monitor is None:
+            if depth_error and val_dataset is not None:
+                monitor = "abs_rel"
+            elif validate and val_dataset is not None:
+                monitor = "validation_loss"
+            else:
+                monitor = "training_loss"
+        best = float("inf")
         for _ in range(num_epochs):
             train_loss = self.train_epoch(train_dataset)
             record = {"epoch": self.epoch, "training_loss": train_loss}
@@ -362,6 +410,12 @@ class Pretrainer:
                 )
             if depth_error and val_dataset is not None:
                 record.update(self.compute_depth_error(val_dataset))
+            value = record.get(monitor)
+            if value is not None and np.isfinite(value) and value < best:
+                best = float(value)
+                self.save()
+                mark_best_checkpoint(self.log_path, self.epoch, monitor, best)
+                record["best"] = f"{monitor}*"
             if save_panels:
                 self.save_depth_panel(
                     val_dataset if val_dataset is not None else train_dataset

@@ -586,6 +586,30 @@ def _adapt_scan(
     return params, opt_state, rng, losses, outputs, iter_losses, frozen_feat4
 
 
+def _pack_retire(losses, outputs):
+    """Everything `Slam._retire` reads per frame, as ONE f32 vector.
+
+    The reference pays a separate host sync per tensor it reads after each
+    frame (pose, losses, embedding — slam/slam.py:137-186); on the dev
+    relay each transfer costs a full ~RTT and even natively each is a
+    separate dispatch.  Packing [T01 (16) | embedding (D) | depth/velocity/
+    total loss (3) | lc_embedding (D_lc, when present)] in-graph makes the
+    per-frame readback a single small transfer; the layout is recovered
+    host-side from the component shapes (slam/slam.py::_retire)."""
+    parts = [
+        outputs[("cam_T_cam", 0, 1)][0].reshape(-1).astype(jnp.float32),
+        outputs[("embedding",)][0].astype(jnp.float32),
+        jnp.stack([
+            jnp.asarray(losses.get("depth_loss", 0.0), jnp.float32),
+            jnp.asarray(losses.get("velocity_loss", 0.0), jnp.float32),
+            jnp.asarray(losses.get("loss", 0.0), jnp.float32),
+        ]),
+    ]
+    if ("lc_embedding",) in outputs:
+        parts.append(outputs[("lc_embedding",)][0].astype(jnp.float32))
+    return jnp.concatenate(parts)
+
+
 @partial(
     jax.jit,
     static_argnames=("model", "tx", "cfg", "num_steps", "freeze_encoder",
@@ -642,6 +666,7 @@ def adapt_step(
             variables, training.frame(1)[:1], method=DepthPoseNet.depth_encode
         )[-1].mean(axis=(1, 2))
         outputs[("lc_embedding",)] = l2_normalize(lc_feat)
+    outputs[("retire_packed",)] = _pack_retire(losses, outputs)
     losses = dict(losses)
     losses["iter_losses"] = iter_losses
 
@@ -724,6 +749,7 @@ def eval_step(
             method=DepthPoseNet.depth_encode,
         )[-1].mean(axis=(1, 2))
         outputs[("lc_embedding",)] = l2_normalize(lc_feat)
+    outputs[("retire_packed",)] = _pack_retire(losses, outputs)
     return losses, outputs
 
 

@@ -556,6 +556,65 @@ def project_native_fps_fused(
     }
 
 
+def frame_sol_ms(
+    adapt_iters: int = 5,
+    bf16: bool = True,
+    tall: bool = False,
+    fused_loss: bool = False,
+    fused_bwd: bool = False,
+    proj: bool = False,
+    bf16_out: bool = False,
+    extra_tiles: int = 2,
+    height: int = 192,
+    width: int = 640,
+    batch: int = 3,
+    mxu_eff: float = 1.0,
+    hbm_eff: float = 1.0,
+) -> float:
+    """Analytic native-v5e frame time for an ARBITRARY bench.py flag combo.
+
+    At the default efficiencies of 1.0 this is the per-frame speed of light
+    (max(FLOPs/MXU peak, analytic fused bytes/HBM peak) per stage, summed
+    over encoders + K iterations) — the denominator of bench.py's
+    `roofline_frac`.  At (0.45, 0.7) it reproduces
+    `project_native_fps_fused`'s expected bracket for the fused configs and
+    extends it to the windowed default (fused-grad kernel + XLA loss).
+    Generalises project_native_fps_fused so bench.py can report the
+    projection FOR THE MEASURED CONFIG (VERDICT r4 #3)."""
+    ana = analytic_bytes(height, width, batch, 4, extra_tiles=extra_tiles,
+                         out_dtype_bytes=2 if bf16_out else 4)
+    peak = PEAK_FLOPS_BF16 if bf16 else PEAK_FLOPS_F32
+    act = 0.5 if bf16 else 1.0  # bf16 convs store bf16 activations
+
+    def hbm_ms(name):
+        return ana[name] / PEAK_HBM_GBS * 1e3 / hbm_eff
+
+    # conv FLOP counts scale with pixel count vs the calibrated 192x640 ref
+    px = (height * width) / (192 * 640) * (batch / 3)
+    enc_ms = max(_ENCODER_GFLOPS * px * 1e9 / peak * 1e3 / mxu_eff,
+                 act * ana["encoder_fwd"] / PEAK_HBM_GBS * 1e3 / hbm_eff)
+    dec_ms = max(_DECODER_GFLOPS * px * 2.2 * 1e9 / peak * 1e3 / mxu_eff,
+                 act * ana["decoder_fwd"] * 2.2 / PEAK_HBM_GBS * 1e3 / hbm_eff)
+    if tall and fused_loss and fused_bwd and proj:
+        warp_loss = hbm_ms("warp_loss_fused_bwd_proj")
+    elif tall and fused_loss and fused_bwd:
+        warp_loss = hbm_ms("warp_loss_fused_bwd")
+    elif tall and fused_loss:
+        warp_loss = hbm_ms("warp_tall_fwd_bwd") + hbm_ms("loss_pallas_fwd_bwd")
+    elif tall:
+        warp_loss = hbm_ms("warp_tall_fwd_bwd") + hbm_ms("loss_fwd_bwd")
+    elif fused_loss:
+        warp_loss = (hbm_ms("warp_pallas_fused_fwd_bwd")
+                     + hbm_ms("loss_pallas_fwd_bwd"))
+    else:  # shipped default: windowed fused-grad kernel + XLA loss
+        warp_loss = (hbm_ms("warp_pallas_fused_fwd_bwd")
+                     + hbm_ms("loss_fwd_bwd"))
+    coords = hbm_ms("coords_fwd_bwd_proj" if proj else "coords_fwd_bwd")
+    per_iter = (dec_ms + warp_loss + coords + hbm_ms("mask_smooth")
+                + hbm_ms("adam_update"))
+    return enc_ms + adapt_iters * per_iter
+
+
 def main() -> None:
     rows = calibrate()
     header = ("class", "measured_ms", "gflops", "xla_gbytes_ub", "ana_gbytes",
