@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import jax
@@ -119,6 +120,12 @@ def main() -> None:
     ap.add_argument("--pipeline-depth", type=int, default=None,
                     help="slam.pipeline_depth for the e2e measurement "
                          "(None = config default)")
+    ap.add_argument("--watchdog", type=float, default=900.0,
+                    help="dead-backend watchdog seconds (raise for configs "
+                         "whose remote compile exceeds the default — e.g. "
+                         "the full fused stack's ~5x larger unrolled "
+                         "programs on the relay's remote Mosaic); parsed "
+                         "again pre-thread by _main_with_watchdog")
     args = ap.parse_args()
     HEIGHT, WIDTH = args.height, args.width
     ADAPT_ITERS = args.iters
@@ -255,6 +262,12 @@ def _main_with_watchdog() -> None:
     import os
     import threading
 
+    # pre-parse the watchdog budget (main() runs in the thread, after the
+    # wait below has already been armed)
+    budget = 900.0
+    if "--watchdog" in sys.argv:
+        budget = float(sys.argv[sys.argv.index("--watchdog") + 1])
+
     done = threading.Event()
     error: list[BaseException] = []
 
@@ -268,7 +281,7 @@ def _main_with_watchdog() -> None:
 
     t = threading.Thread(target=runner, daemon=True)
     t.start()
-    if done.wait(timeout=900):
+    if done.wait(timeout=budget):
         if error:
             # A failed bench must exit non-zero (the pre-watchdog contract):
             # a harness keying on the exit code must not record a crashed
@@ -282,7 +295,7 @@ def _main_with_watchdog() -> None:
                     "value": 0.0,
                     "unit": "frames/sec (NOT MEASURED)",
                     "vs_baseline": 0.0,
-                    "error": "tpu backend unresponsive for 900s (relay outage)",
+                    "error": f"tpu backend unresponsive for {budget:.0f}s (relay outage)",
                 }
             ),
             flush=True,

@@ -61,6 +61,40 @@ def load_image(path: Path, height: int, width: int) -> np.ndarray:
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
+class ImageCache:
+    """Small thread-safe LRU over decoded frames at the working resolution.
+
+    The SLAM loop reads sliding (i-1, 0, +1) windows, so consecutive
+    `dataset[i]` calls re-decode two of their three source images; with the
+    cache ~3 full decode+LANCZOS passes per frame become ~1.  The reference
+    re-decodes every window too but hides the cost in DataLoader workers
+    (/root/reference/datasets/utils.py:62-66) — this box has one core, and
+    at native device frame times the host feed is the bottleneck
+    (BASELINE.md round-5 host-feed split).  Returned arrays are shared:
+    callers must treat them as read-only (every consumer stacks/copies)."""
+
+    def __init__(self, capacity: int = 8):
+        from collections import OrderedDict
+
+        self._cap = capacity
+        self._lock = threading.Lock()
+        self._store = OrderedDict()
+
+    def load(self, path: Path, height: int, width: int) -> np.ndarray:
+        key = (str(path), height, width)
+        with self._lock:
+            img = self._store.get(key)
+            if img is not None:
+                self._store.move_to_end(key)
+                return img
+        img = load_image(path, height, width)
+        with self._lock:
+            self._store[key] = img
+            while len(self._store) > self._cap:
+                self._store.popitem(last=False)
+        return img
+
+
 def scale_intrinsics(K_normalized: np.ndarray, height: int, width: int) -> np.ndarray:
     """Normalised intrinsics -> pixel units (reference datasets/utils.py:104-110)."""
     K = np.asarray(K_normalized, np.float32).copy()

@@ -20,7 +20,8 @@ import threading
 
 import numpy as np
 
-from tpuslam.data.base import Sample, flip_sample_arrays, load_image, random_color_jitter
+from tpuslam.data.base import (ImageCache, Sample, flip_sample_arrays,
+                               load_image, random_color_jitter)
 
 
 def _parse_name(path: Path) -> Tuple[str, str, int]:
@@ -50,6 +51,7 @@ class Cityscapes:
         self.with_mask = with_mask
         self._aug_rng = np.random.default_rng(seed)
         self._rng_lock = threading.Lock()  # concurrent __getitem__ safety
+        self._images = ImageCache()  # sliding windows re-read 2 of 3 frames
 
         seq_dir = self.data_path / "leftImg8bit_sequence" / split
         if not seq_dir.exists():
@@ -148,7 +150,8 @@ class Cityscapes:
             raise IndexError(index)
         center = self._centers[index]
         paths = [self.image_files[center + off] for off in (-1, 0, 1)]
-        frames = [load_image(p, self.height, self.width) for p in paths]
+        frames = [self._images.load(p, self.height, self.width)
+                  for p in paths]
         rgb = np.stack(frames)
         rgb_aug = None
         mask = self._load_mask(paths[1]) if self.with_mask else None

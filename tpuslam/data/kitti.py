@@ -34,6 +34,7 @@ import numpy as np
 
 from tpuslam.data.base import (
     KITTI_NORMALIZED_K,
+    ImageCache,
     Sample,
     flip_sample_arrays,
     load_image,
@@ -123,6 +124,7 @@ class KittiOdometry:
         # concurrent __getitem__ (Slam.run prefetch_workers > 1) must not
         # corrupt the shared Generator — draws happen under this lock
         self._rng_lock = threading.Lock()
+        self._images = ImageCache()  # sliding windows re-read 2 of 3 frames
         self.K = scale_intrinsics(KITTI_NORMALIZED_K, height, width)
 
         self.image_files: list = []
@@ -237,7 +239,8 @@ class KittiOdometry:
             raise IndexError(index)
         center = self._centers[index]
         frames = [
-            load_image(self.image_files[center + off], self.height, self.width)
+            self._images.load(self.image_files[center + off], self.height,
+                              self.width)
             for off in (-1, 0, 1)
         ]
         rgb = np.stack(frames)

@@ -26,7 +26,8 @@ import numpy as np
 from scipy.interpolate import interp1d
 from scipy.spatial.transform import Rotation, Slerp
 
-from tpuslam.data.base import Sample, load_image, random_color_jitter
+from tpuslam.data.base import (ImageCache, Sample, load_image,
+                               random_color_jitter)
 
 EVAL_WINDOWS = {1: (750, 4750), 2: (22100, 26100)}
 DEFAULT_SEQUENCE = "2015-08-12-15-04-18"
@@ -97,6 +98,7 @@ class RobotCar:
         self.do_augmentation = do_augmentation
         self._aug_rng = np.random.default_rng(seed)
         self._rng_lock = threading.Lock()  # concurrent __getitem__ safety
+        self._images = ImageCache()  # sliding windows re-read 2 of 3 frames
 
         img_dir = self.data_path / sequence / image_dir
         files = sorted(img_dir.glob("*.png"))
@@ -170,7 +172,8 @@ class RobotCar:
             raise IndexError(index)
         center = index + 1
         paths = [self.image_files[center + off] for off in (-1, 0, 1)]
-        frames = [load_image(p, self.height, self.width) for p in paths]
+        frames = [self._images.load(p, self.height, self.width)
+                  for p in paths]
         rgb = np.stack(frames)
         rgb_aug = None
         if self.do_augmentation:

@@ -1080,10 +1080,12 @@ def _warp_kernel_tall_proj(ab_ref, src_ref, depth_ref, out_ref, dx_ref,
     j = pl.program_id(1)
     i = pl.program_id(2)
     xs = jnp.clip(j - 1, 0, W // TILE_W - 3) * TILE_W
-    u = (jax.lax.broadcasted_iota(jnp.float32, (out_h, TILE_W), 1)
-         + (j * TILE_W).astype(jnp.float32))
-    v = (jax.lax.broadcasted_iota(jnp.float32, (out_h, TILE_W), 0)
-         + (i * out_h).astype(jnp.float32))
+    # int32 iota + cast: Mosaic's tpu.iota only produces integer vectors
+    # (a float broadcasted_iota fails verification on the relay toolchain)
+    u = (jax.lax.broadcasted_iota(jnp.int32, (out_h, TILE_W), 1)
+         .astype(jnp.float32) + (j * TILE_W).astype(jnp.float32))
+    v = (jax.lax.broadcasted_iota(jnp.int32, (out_h, TILE_W), 0)
+         .astype(jnp.float32) + (i * out_h).astype(jnp.float32))
     d = depth_ref[0, 0]
     a = [_smem_row_select(ab_ref, g0, B2, k) for k in range(9)]
     b3 = [_smem_row_select(ab_ref, g0, B2, 9 + k) for k in range(3)]

@@ -105,9 +105,14 @@ def make_frame_batch(
             return np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
         return img.astype(np.float32)
 
+    prgb = prep(rgb)
+    # aug defaults to the same array (no-augmentation paths): skip the
+    # second full-image quantisation pass AND the second transfer — the
+    # device-side aliasing is safe (the step never writes batch arrays)
+    paug = prgb if rgb_aug is rgb else prep(rgb_aug)
     return FrameBatch(
-        rgb=jnp.asarray(prep(rgb)),
-        rgb_aug=jnp.asarray(prep(rgb_aug)),
+        rgb=jnp.asarray(prgb),
+        rgb_aug=jnp.asarray(paug),
         K=jnp.asarray(K),
         inv_K=jnp.asarray(inv_K.astype(np.float32)),
         rel_dist=jnp.asarray(np.asarray(rel_dist, np.float32)),
