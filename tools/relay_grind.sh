@@ -48,8 +48,8 @@ step bench_bf16out '"value": [1-9]' 2700 python bench.py --bf16-out --e2e-frames
 step bench_tall_fl '"value": [1-9]' 2700 python bench.py --tall --bf16-out --fused-loss --e2e-frames 0 --watchdog 2400
 step bench_tall_fb '"value": [1-9]' 2700 python bench.py --tall --bf16-out --fused-loss --fused-bwd --e2e-frames 0 --watchdog 2400
 # 6. e2e packed-readback A/B at pipeline_depth 0 vs 3 (VERDICT #9 measurement)
-step e2e_pd0 'ATE' 1800 python -m tpuslam.cli.adapt --config tpuslam/config/defaults/adapt_synthetic.yaml --max-steps 40 --no-progress --pipeline-depth 0
-step e2e_pd3 'ATE' 1800 python -m tpuslam.cli.adapt --config tpuslam/config/defaults/adapt_synthetic.yaml --max-steps 40 --no-progress --pipeline-depth 3
+step e2e_pd0 'steady-state' 1800 python -m tpuslam.cli.adapt --config tpuslam/config/defaults/adapt_synthetic.yaml --max-steps 40 --no-progress --pipeline-depth 0
+step e2e_pd3 'steady-state' 1800 python -m tpuslam.cli.adapt --config tpuslam/config/defaults/adapt_synthetic.yaml --max-steps 40 --no-progress --pipeline-depth 3
 # 7. quality A/Bs: bf16-out 3 seeds + full-stack tall_proj (rung 2)
 for seed in 0 1 2; do
   step rungs_s${seed}_base 'rung 2' 2400 python -m tpuslam.cli.rungs --rungs 2 --frames 30 --seed $seed
