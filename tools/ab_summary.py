@@ -28,6 +28,9 @@ def group_of(step: str) -> str:
     m = re.match(r"rungs_s\d+_(\w+)", step)
     if m:
         return f"rungs[{m.group(1)}]"
+    m = re.match(r"q192_s\d+_(\w+)", step)
+    if m:
+        return f"q192[{m.group(1)}]"
     m = re.match(r"dlr_s\d+_([\d.]+)", step)
     if m:
         return f"depth_lr_scale={m.group(1)}"

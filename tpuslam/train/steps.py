@@ -273,8 +273,28 @@ def warp_and_loss(
         outputs[("disp", s)] = disp
 
     depth_stack = jnp.concatenate(depths, axis=0)  # (S*B, H, W, 1)
-    use_tall = (cfg.use_pallas_warp and cfg.pallas_tall and H % 8 == 0
-                and W % 128 == 0 and W >= 384)
+    pallas_ok = (cfg.use_pallas_warp and H % 8 == 0 and W % 128 == 0
+                 and W >= 384)
+    if not pallas_ok:
+        # An EXPLICITLY-REQUESTED pallas variant silently degrading to the
+        # XLA sampler makes quality A/Bs vacuous (a 96x320 rungs "tall vs
+        # default A/B" compares XLA vs XLA — caught in round 5).  Warn at
+        # trace time, once per compile.
+        requested = [k for k, v in (
+            ("pallas_tall", cfg.pallas_tall),
+            ("pallas_proj", cfg.pallas_proj),
+            ("pallas_fused_bwd", cfg.pallas_fused_bwd),
+            ("pallas_bf16_out", cfg.pallas_bf16_out),
+            ("pallas_packed", cfg.pallas_packed),
+            ("pallas_seg_skip", cfg.pallas_seg_skip),
+            ("pallas_sparse", cfg.pallas_sparse),
+        ) if v]
+        if requested and cfg.use_pallas_warp:
+            print(f"WARNING: warp_and_loss at {H}x{W}: pallas kernels need "
+                  f"H%8==0, W%128==0, W>=384 — requested variant(s) "
+                  f"{requested} are INACTIVE (XLA sampler); any A/B on them "
+                  "at this shape measures nothing")
+    use_tall = pallas_ok and cfg.pallas_tall
     use_proj = use_tall and cfg.pallas_proj
     T_stack = jnp.concatenate([tile(T_prev, S), tile(T_next, S)], axis=0)
     if use_proj:
@@ -338,8 +358,7 @@ def warp_and_loss(
             warped = pallas_warp_tall(
                 src2, coords, interpret, S, cfg.pallas_bf16_out
             )
-    elif (cfg.use_pallas_warp and H % 8 == 0 and W % 128 == 0
-            and H >= min_h and W >= 384):
+    elif pallas_ok and H >= min_h:
         from tpuslam.ops.pallas_warp import (pallas_warp_static,
                                              pallas_warp_static_fused)
 
