@@ -91,9 +91,12 @@ def main() -> None:
                          "(src window DMA once per image/stripe, deduped "
                          "sources, unlimited vertical exactness)")
     ap.add_argument("--bf16-out", action=argparse.BooleanOptionalAction,
-                    default=False,
+                    default=True,
                     help="pallas_bf16_out: store the fused warp kernel's "
-                         "outputs (warped + tap differentials) as bfloat16")
+                         "outputs (warped + tap differentials) as bfloat16 "
+                         "(round-5 default: faster in two sessions + "
+                         "better-or-equal 3-seed quality A/B; "
+                         "--no-bf16-out for the f32 A/B)")
     ap.add_argument("--fused-bwd", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="pallas_fused_bwd (with --tall --fused-loss): one "

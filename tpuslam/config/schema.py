@@ -113,8 +113,10 @@ class DepthPoseConfig:
     pallas_fused_loss: bool = False
     # `pallas_bf16_out` stores the fused warp kernel's outputs in bfloat16
     # (math stays f32; halves their HBM traffic, <= ~4e-3 rounding on
-    # image data).  Opt-in pending a quality A/B.
-    pallas_bf16_out: bool = False
+    # image data).  DEFAULT ON since round 5: faster in two relay sessions
+    # and better-or-equal on every seed/metric of the 3-seed 192x640
+    # quality A/B (BASELINE.md); False restores exact f32 storage.
+    pallas_bf16_out: bool = True
     # `pallas_tall` uses the full-height column-stripe warp kernel: src
     # windows DMA once per (image, stripe) (~20x less HBM src traffic),
     # sources deduped across scales, unlimited vertical exactness.

@@ -128,8 +128,15 @@ class LossConfig(NamedTuple):
     # image + the two tap differentials) as bfloat16 — in-kernel math and
     # the VJP contraction stay f32, so this only halves the HBM bytes of
     # arrays that are pure loss inputs (<= ~4e-3 relative rounding on
-    # [0, 1] image data).  Opt-in pending an on-silicon quality A/B.
-    pallas_bf16_out: bool = False
+    # [0, 1] image data).  DEFAULT ON since round 5: measured faster on
+    # the relay in two sessions (9.33 vs 9.17; 9.40 vs 9.16) and the
+    # 3-seed 192x640 rung-2 quality A/B came out better-or-equal on every
+    # seed and metric (ATE 7.1-7.6 -> 5.8-6.2, abs_rel 0.43-0.46 ->
+    # 0.41 — BASELINE.md round 5; the direction of the quality effect is
+    # a random-init-regime observation, the flip is justified by
+    # faster-at-equal-or-better).  `--no-bf16-out` / pallas_bf16_out=False
+    # restores exact f32 storage.
+    pallas_bf16_out: bool = True
     # `pallas_tall` switches to the full-height column-stripe warp kernel
     # (ops/pallas_warp.py::pallas_warp_tall): the src window is DMA'd once
     # per (source image, column stripe) instead of once per output tile —
