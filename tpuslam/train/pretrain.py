@@ -179,6 +179,7 @@ class Pretrainer:
 
     def validate(self, dataset, max_batches: Optional[int] = None) -> float:
         losses = []
+        total = None
         it = batches_from(dataset, self.batch_size, self.rng, shuffle=False)
         for i, batch in enumerate(it):
             if max_batches is not None and i >= max_batches:
@@ -186,10 +187,17 @@ class Pretrainer:
             step_losses, _ = eval_step(
                 self.model, self.cfg, self.state.params, self.state.batch_stats, batch
             )
-            # keep the device scalar — one stacked transfer at the end
-            # instead of a per-batch sync (the full val split pays a host
-            # round trip per batch otherwise)
-            losses.append(step_losses["loss"])
+            # Accumulate ON DEVICE (chained add) — still exactly one host
+            # transfer at the end, but only ONE live device scalar instead
+            # of a long-lived buffer per batch.  The round-3 pattern that
+            # stacked N kept-alive scalars at the end read back NaN on the
+            # relay attachment for every epoch of the round-4/5 quality
+            # pretrains, while the identical batches evaluate finite on CPU
+            # and per-batch float() transfers were fine in rounds 1-2 —
+            # an attachment buffer-lifetime hazard, sidestepped here.
+            loss = step_losses["loss"]
+            total = loss if total is None else total + loss
+            losses.append(True)
         if not losses:
             # Val split smaller than one batch: pad by cycling samples to
             # the static batch shape so validation still measures something
@@ -220,8 +228,9 @@ class Pretrainer:
             step_losses, _ = eval_step(
                 self.model, self.cfg, self.state.params, self.state.batch_stats, batch
             )
-            losses.append(step_losses["loss"])
-        return float(np.mean(np.asarray(jax.numpy.stack(losses))))
+            total = step_losses["loss"]
+            losses.append(True)
+        return float(total) / len(losses)
 
     def compute_depth_error(
         self, dataset, max_samples: Optional[int] = None
