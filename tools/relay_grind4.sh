@@ -56,4 +56,8 @@ print('validation_loss =', v)
 assert np.isfinite(v), 'still NaN on the relay'
 print('VALIDATE_FINITE')
 "
+# run-mode gate: execute every kernel variant once and check finiteness
+# (catches runtime-only Mosaic faults that compile cleanly)
+step gate_run '"fail": 0' 2400 python tools/compile_gate.py --run
+
 echo "GRIND4 DONE $(date +%T)" | tee -a "$OUT"
